@@ -1,0 +1,475 @@
+"""R1CS constraint system: Prover and Verifier.
+
+Protocol-compatible with bulletproofs::r1cs (dalek 2.x "yoloproofs", the
+FairAds fork pinned in /root/reference/Cargo.toml:19-22).  The reference
+builds all gadget constraints against this API surface
+(ConstraintSystem::{multiply, allocate_multiplier, constrain, commit};
+src/gadget.rs, src/cs_buffer.rs), and the single-definition /
+two-interpretation property (same assemble() code for prover with
+Some(assignment) and verifier with None) is preserved.
+
+Host/Device split (TPU-first): this module is the *sequencing* layer — the
+constraint log, Fiat-Shamir interleaving and per-phase orchestration live
+here, while every O(n) piece (MSMs, y^n/z^Q vector expansion, the l(x)/r(x)
+polynomial folds, the IPA) is routed through core.msm and the ops backend.
+
+The reference never uses randomized (2-phase) constraints, so this
+implementation is 1-phase: A_I2/A_O2/S2 are identity and the proof
+serializes with the one-phase version byte.
+"""
+
+from .scalar import Scalar, exp_iter
+from .ristretto import RistrettoPoint, IDENTITY_COMPRESSED
+from .lc import (Variable, LinearCombination, to_lc, ONE, COMMITTED,
+                 MULT_LEFT, MULT_RIGHT, MULT_OUT)
+from .transcript import (r1cs_domain_sep, r1cs_1phase_domain_sep,
+                         append_point, append_scalar,
+                         validate_and_append_point, challenge_scalar,
+                         ProofError)
+from .proof import R1CSProof
+from .ipa import InnerProductProof
+from .msm import msm
+from ..utils import rng
+
+
+class R1CSError(Exception):
+    pass
+
+
+def _next_pow2(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+class _Poly6:
+    __slots__ = ("t1", "t2", "t3", "t4", "t5", "t6")
+
+    def __init__(self, t1, t2, t3, t4, t5, t6):
+        self.t1, self.t2, self.t3, self.t4, self.t5, self.t6 = \
+            t1, t2, t3, t4, t5, t6
+
+    def eval(self, x: Scalar) -> Scalar:
+        # x*(t1 + x*(t2 + x*(t3 + x*(t4 + x*(t5 + x*t6)))))
+        acc = self.t6
+        for t in (self.t5, self.t4, self.t3, self.t2, self.t1):
+            acc = t + x * acc
+        return x * acc
+
+
+def _inner(a, b) -> Scalar:
+    acc = Scalar.zero()
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+class Prover:
+    """bulletproofs::r1cs::Prover equivalent (1-phase)."""
+
+    def __init__(self, pc_gens, transcript):
+        self.pc_gens = pc_gens
+        self.transcript = transcript
+        self.constraints = []   # list[LinearCombination]
+        self.a_L = []           # list[Scalar]
+        self.a_R = []
+        self.a_O = []
+        self.v = []             # committed values
+        self.v_blinding = []
+        r1cs_domain_sep(transcript)
+
+    # -- metrics (FairAds fork accessors; src/prove.rs:75,78) --------------
+    def num_constraints(self) -> int:
+        return len(self.constraints)
+
+    def get_num_multiplications(self) -> int:
+        return len(self.a_L)
+
+    # -- high-level variables ---------------------------------------------
+    def commit(self, v: Scalar, v_blinding: Scalar):
+        i = len(self.v)
+        self.v.append(v)
+        self.v_blinding.append(v_blinding)
+        V = self.pc_gens.commit(v, v_blinding).compress()
+        append_point(self.transcript, b"V", V)
+        return V, Variable(COMMITTED, i)
+
+    # -- ConstraintSystem -------------------------------------------------
+    def eval(self, lc: LinearCombination) -> Scalar:
+        acc = Scalar.zero()
+        for var, coeff in lc.terms:
+            if var.kind == ONE:
+                acc = acc + coeff
+            elif var.kind == COMMITTED:
+                acc = acc + coeff * self.v[var.index]
+            elif var.kind == MULT_LEFT:
+                acc = acc + coeff * self.a_L[var.index]
+            elif var.kind == MULT_RIGHT:
+                acc = acc + coeff * self.a_R[var.index]
+            else:
+                acc = acc + coeff * self.a_O[var.index]
+        return acc
+
+    def multiply(self, left, right):
+        left = to_lc(left).clone()
+        right = to_lc(right).clone()
+        l = self.eval(left)
+        r = self.eval(right)
+        o = l * r
+        i = len(self.a_L)
+        self.a_L.append(l)
+        self.a_R.append(r)
+        self.a_O.append(o)
+        l_var = Variable(MULT_LEFT, i)
+        r_var = Variable(MULT_RIGHT, i)
+        o_var = Variable(MULT_OUT, i)
+        # Constrain l_var == left, r_var == right (dalek does this inline).
+        left.terms.append((l_var, -Scalar.one()))
+        right.terms.append((r_var, -Scalar.one()))
+        self.constrain(left)
+        self.constrain(right)
+        return l_var, r_var, o_var
+
+    def allocate_multiplier(self, assignment):
+        if assignment is None:
+            raise R1CSError("missing assignment")
+        l, r = assignment
+        i = len(self.a_L)
+        self.a_L.append(l)
+        self.a_R.append(r)
+        self.a_O.append(l * r)
+        return (Variable(MULT_LEFT, i), Variable(MULT_RIGHT, i),
+                Variable(MULT_OUT, i))
+
+    def constrain(self, lc):
+        self.constraints.append(to_lc(lc))
+
+    # -- flattening --------------------------------------------------------
+    def _flattened_constraints(self, z: Scalar):
+        n = len(self.a_L)
+        m = len(self.v)
+        wL = [Scalar.zero() for _ in range(n)]
+        wR = [Scalar.zero() for _ in range(n)]
+        wO = [Scalar.zero() for _ in range(n)]
+        wV = [Scalar.zero() for _ in range(m)]
+        exp_z = z
+        for lc in self.constraints:
+            for var, coeff in lc.terms:
+                if var.kind == MULT_LEFT:
+                    wL[var.index] = wL[var.index] + exp_z * coeff
+                elif var.kind == MULT_RIGHT:
+                    wR[var.index] = wR[var.index] + exp_z * coeff
+                elif var.kind == MULT_OUT:
+                    wO[var.index] = wO[var.index] + exp_z * coeff
+                elif var.kind == COMMITTED:
+                    wV[var.index] = wV[var.index] - exp_z * coeff
+                # One(): not needed on the prover side
+            exp_z = exp_z * z
+        return wL, wR, wO, wV
+
+    # -- proving -----------------------------------------------------------
+    def prove(self, bp_gens) -> R1CSProof:
+        t = self.transcript
+        t.append_u64(b"m", len(self.v))
+
+        n1 = len(self.a_L)
+        if bp_gens.gens_capacity < n1:
+            raise R1CSError("invalid generators length")
+        G = bp_gens.G(n1)
+        H = bp_gens.H(n1)
+
+        i_blinding1 = rng.random_scalar()
+        o_blinding1 = rng.random_scalar()
+        s_blinding1 = rng.random_scalar()
+        s_L1 = [rng.random_scalar() for _ in range(n1)]
+        s_R1 = [rng.random_scalar() for _ in range(n1)]
+
+        B_b = self.pc_gens.B_blinding
+        A_I1 = msm([i_blinding1] + self.a_L + self.a_R,
+                   [B_b] + G + H).compress()
+        A_O1 = msm([o_blinding1] + self.a_O, [B_b] + G).compress()
+        S1 = msm([s_blinding1] + s_L1 + s_R1, [B_b] + G + H).compress()
+
+        append_point(t, b"A_I1", A_I1)
+        append_point(t, b"A_O1", A_O1)
+        append_point(t, b"S1", S1)
+
+        # 1-phase circuit: no deferred constraint callbacks (the reference
+        # never registers any), phase-2 commitments are the identity.
+        r1cs_1phase_domain_sep(t)
+        n = len(self.a_L)
+        n2 = n - n1
+        assert n2 == 0
+        i_blinding2 = o_blinding2 = s_blinding2 = Scalar.zero()
+        A_I2 = A_O2 = S2 = IDENTITY_COMPRESSED
+
+        padded_n = _next_pow2(n)
+        pad = padded_n - n
+        if bp_gens.gens_capacity < padded_n:
+            raise R1CSError("invalid generators length")
+
+        append_point(t, b"A_I2", A_I2)
+        append_point(t, b"A_O2", A_O2)
+        append_point(t, b"S2", S2)
+
+        y = challenge_scalar(t, b"y")
+        z = challenge_scalar(t, b"z")
+
+        wL, wR, wO, wV = self._flattened_constraints(z)
+
+        exp_y_vec = exp_iter(y, max(n, 1))
+        y_inv = y.invert()
+        exp_y_inv = exp_iter(y_inv, padded_n)
+
+        l1 = [self.a_L[i] + exp_y_inv[i] * wR[i] for i in range(n)]
+        l2 = list(self.a_O)
+        l3 = list(s_L1)
+        r0 = [wO[i] - exp_y_vec[i] for i in range(n)]
+        r1 = [exp_y_vec[i] * self.a_R[i] + wL[i] for i in range(n)]
+        r3 = [exp_y_vec[i] * s_R1[i] for i in range(n)]
+
+        t_poly = _Poly6(
+            _inner(l1, r0),
+            _inner(l1, r1) + _inner(l2, r0),
+            _inner(l2, r1) + _inner(l3, r0),
+            _inner(l1, r3) + _inner(l3, r1),
+            _inner(l2, r3),
+            _inner(l3, r3),
+        )
+
+        t_1_blinding = rng.random_scalar()
+        t_3_blinding = rng.random_scalar()
+        t_4_blinding = rng.random_scalar()
+        t_5_blinding = rng.random_scalar()
+        t_6_blinding = rng.random_scalar()
+
+        T_1 = self.pc_gens.commit(t_poly.t1, t_1_blinding).compress()
+        T_3 = self.pc_gens.commit(t_poly.t3, t_3_blinding).compress()
+        T_4 = self.pc_gens.commit(t_poly.t4, t_4_blinding).compress()
+        T_5 = self.pc_gens.commit(t_poly.t5, t_5_blinding).compress()
+        T_6 = self.pc_gens.commit(t_poly.t6, t_6_blinding).compress()
+
+        append_point(t, b"T_1", T_1)
+        append_point(t, b"T_3", T_3)
+        append_point(t, b"T_4", T_4)
+        append_point(t, b"T_5", T_5)
+        append_point(t, b"T_6", T_6)
+
+        u = challenge_scalar(t, b"u")
+        x = challenge_scalar(t, b"x")
+
+        t_2_blinding = _inner(wV, self.v_blinding)
+        t_blinding_poly = _Poly6(t_1_blinding, t_2_blinding, t_3_blinding,
+                                 t_4_blinding, t_5_blinding, t_6_blinding)
+
+        t_x = t_poly.eval(x)
+        t_x_blinding = t_blinding_poly.eval(x)
+
+        xx = x * x
+        xxx = xx * x
+        l_vec = [l1[i] * x + l2[i] * xx + l3[i] * xxx for i in range(n)]
+        l_vec += [Scalar.zero()] * pad
+        r_vec = [r0[i] + r1[i] * x + r3[i] * xxx for i in range(n)]
+        exp_y_pad = exp_iter(y, padded_n + 1)
+        for i in range(n, padded_n):
+            r_vec.append(-exp_y_pad[i])
+
+        i_blinding = i_blinding1 + u * i_blinding2
+        o_blinding = o_blinding1 + u * o_blinding2
+        s_blinding = s_blinding1 + u * s_blinding2
+        e_blinding = x * (i_blinding + x * (o_blinding + x * s_blinding))
+
+        append_scalar(t, b"t_x", t_x)
+        append_scalar(t, b"t_x_blinding", t_x_blinding)
+        append_scalar(t, b"e_blinding", e_blinding)
+
+        w = challenge_scalar(t, b"w")
+        Q = self.pc_gens.B.scalar_mul(w.v)
+
+        G_factors = ([Scalar.one()] * n1 + [u] * (n2 + pad))
+        H_factors = [exp_y_inv[i] * G_factors[i] for i in range(padded_n)]
+
+        ipp = InnerProductProof.create(
+            t, Q, G_factors, H_factors,
+            list(bp_gens.G(padded_n)), list(bp_gens.H(padded_n)),
+            l_vec, r_vec)
+
+        return R1CSProof(A_I1, A_O1, S1, A_I2, A_O2, S2,
+                         T_1, T_3, T_4, T_5, T_6,
+                         t_x, t_x_blinding, e_blinding, ipp)
+
+
+class Verifier:
+    """bulletproofs::r1cs::Verifier equivalent (1-phase)."""
+
+    def __init__(self, transcript):
+        self.transcript = transcript
+        self.constraints = []
+        self.num_vars = 0       # multiplier count
+        self.V = []             # compressed commitments
+        r1cs_domain_sep(transcript)
+
+    def get_num_vars(self) -> int:
+        return self.num_vars
+
+    def num_constraints(self) -> int:
+        return len(self.constraints)
+
+    def commit(self, commitment: bytes) -> Variable:
+        i = len(self.V)
+        self.V.append(commitment)
+        append_point(self.transcript, b"V", commitment)
+        return Variable(COMMITTED, i)
+
+    def multiply(self, left, right):
+        left = to_lc(left).clone()
+        right = to_lc(right).clone()
+        i = self.num_vars
+        self.num_vars += 1
+        l_var = Variable(MULT_LEFT, i)
+        r_var = Variable(MULT_RIGHT, i)
+        o_var = Variable(MULT_OUT, i)
+        left.terms.append((l_var, -Scalar.one()))
+        right.terms.append((r_var, -Scalar.one()))
+        self.constrain(left)
+        self.constrain(right)
+        return l_var, r_var, o_var
+
+    def allocate_multiplier(self, _assignment=None):
+        i = self.num_vars
+        self.num_vars += 1
+        return (Variable(MULT_LEFT, i), Variable(MULT_RIGHT, i),
+                Variable(MULT_OUT, i))
+
+    def constrain(self, lc):
+        self.constraints.append(to_lc(lc))
+
+    def _flattened_constraints(self, z: Scalar):
+        n = self.num_vars
+        m = len(self.V)
+        wL = [Scalar.zero() for _ in range(n)]
+        wR = [Scalar.zero() for _ in range(n)]
+        wO = [Scalar.zero() for _ in range(n)]
+        wV = [Scalar.zero() for _ in range(m)]
+        wc = Scalar.zero()
+        exp_z = z
+        for lc in self.constraints:
+            for var, coeff in lc.terms:
+                if var.kind == MULT_LEFT:
+                    wL[var.index] = wL[var.index] + exp_z * coeff
+                elif var.kind == MULT_RIGHT:
+                    wR[var.index] = wR[var.index] + exp_z * coeff
+                elif var.kind == MULT_OUT:
+                    wO[var.index] = wO[var.index] + exp_z * coeff
+                elif var.kind == COMMITTED:
+                    wV[var.index] = wV[var.index] - exp_z * coeff
+                else:  # One()
+                    wc = wc - exp_z * coeff
+            exp_z = exp_z * z
+        return wL, wR, wO, wV, wc
+
+    def verify(self, proof: R1CSProof, pc_gens, bp_gens) -> None:
+        """Raises R1CSError / ProofError on failure (mirrors Err paths)."""
+        t = self.transcript
+        t.append_u64(b"m", len(self.V))
+
+        n1 = self.num_vars
+        validate_and_append_point(t, b"A_I1", proof.A_I1)
+        validate_and_append_point(t, b"A_O1", proof.A_O1)
+        validate_and_append_point(t, b"S1", proof.S1)
+
+        r1cs_1phase_domain_sep(t)
+        n = self.num_vars
+        n2 = n - n1
+        padded_n = _next_pow2(n)
+        pad = padded_n - n
+        if bp_gens.gens_capacity < padded_n:
+            raise R1CSError("invalid generators length")
+
+        append_point(t, b"A_I2", proof.A_I2)
+        append_point(t, b"A_O2", proof.A_O2)
+        append_point(t, b"S2", proof.S2)
+
+        y = challenge_scalar(t, b"y")
+        z = challenge_scalar(t, b"z")
+
+        validate_and_append_point(t, b"T_1", proof.T_1)
+        validate_and_append_point(t, b"T_3", proof.T_3)
+        validate_and_append_point(t, b"T_4", proof.T_4)
+        validate_and_append_point(t, b"T_5", proof.T_5)
+        validate_and_append_point(t, b"T_6", proof.T_6)
+
+        u = challenge_scalar(t, b"u")
+        x = challenge_scalar(t, b"x")
+
+        append_scalar(t, b"t_x", proof.t_x)
+        append_scalar(t, b"t_x_blinding", proof.t_x_blinding)
+        append_scalar(t, b"e_blinding", proof.e_blinding)
+
+        w = challenge_scalar(t, b"w")
+
+        wL, wR, wO, wV, wc = self._flattened_constraints(z)
+
+        u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(padded_n, t)
+        a = proof.ipp_proof.a
+        b = proof.ipp_proof.b
+
+        y_inv = y.invert()
+        y_inv_vec = exp_iter(y_inv, padded_n)
+        yneg_wR = [wR[i] * y_inv_vec[i] for i in range(n)] + \
+                  [Scalar.zero()] * pad
+
+        delta = _inner(yneg_wR[:n], wL)
+
+        u_or_1 = [Scalar.one()] * n1 + [u] * (n2 + pad)
+
+        g_scalars = [u_or_1[i] * (x * yneg_wR[i] - a * s[i])
+                     for i in range(padded_n)]
+        s_rev = list(reversed(s))
+        wL_pad = wL + [Scalar.zero()] * pad
+        wO_pad = wO + [Scalar.zero()] * pad
+        h_scalars = [
+            u_or_1[i] * (y_inv_vec[i] * (x * wL_pad[i] + wO_pad[i]
+                                         - b * s_rev[i]) - Scalar.one())
+            for i in range(padded_n)]
+
+        r = rng.random_scalar()
+        xx = x * x
+        rxx = r * xx
+        xxx = x * xx
+
+        T_scalars = [r * x, r * xxx, r * x * xxx, r * xx * xxx,
+                     r * xxx * xxx]
+        T_points = [proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6]
+
+        def decompress(bts):
+            p = RistrettoPoint.decompress(bts)
+            if p is None:
+                raise ProofError("invalid point encoding")
+            return p
+
+        scalars = ([x, xx, xxx, u * x, u * xx, u * xxx]
+                   + [wVi * rxx for wVi in wV]
+                   + T_scalars
+                   + [w * (proof.t_x - a * b) + r * (xx * (wc + delta)
+                                                     - proof.t_x)]
+                   + [-proof.e_blinding - r * proof.t_x_blinding]
+                   + g_scalars
+                   + h_scalars
+                   + u_sq
+                   + u_inv_sq)
+
+        points = ([decompress(proof.A_I1), decompress(proof.A_O1),
+                   decompress(proof.S1), decompress(proof.A_I2),
+                   decompress(proof.A_O2), decompress(proof.S2)]
+                  + [decompress(Vb) for Vb in self.V]
+                  + [decompress(Tb) for Tb in T_points]
+                  + [pc_gens.B, pc_gens.B_blinding]
+                  + list(bp_gens.G(padded_n))
+                  + list(bp_gens.H(padded_n))
+                  + [decompress(Lb) for Lb in proof.ipp_proof.L_vec]
+                  + [decompress(Rb) for Rb in proof.ipp_proof.R_vec])
+
+        mega_check = msm(scalars, points)
+        if not (mega_check == RistrettoPoint.identity()):
+            raise R1CSError("verification error")
