@@ -2,9 +2,15 @@
 bulletproofs::inner_product_proof (dalek 2.x, `yoloproofs` feature as pinned
 by the reference's Cargo.toml:19-22).
 
-Host code sequences the log2(n) Fiat-Shamir rounds (inherently serial); the
-two MSMs per round and the vector folds are bulk math routed through
-core.msm / the ops backend.
+TPU-first design — *collapsed folding*: dalek's prover folds the G/H
+generator vectors point-by-point every round (O(n) scalar-mults per round on
+the CPU).  Here the generators never move: the fold state is carried in
+per-generator coefficient vectors gc/hc over F_l (after j rounds the virtual
+generator G'_i is sum_{t = i mod n_j} gc[t]*G_t), and each round's L/R is a
+single batched MSM over the ORIGINAL generator arrays — which stay resident
+on device across all rounds.  Host work per round is O(n) cheap scalar
+muls; all point work is MSM kernels.  The emitted L/R group elements (and
+hence compressed bytes and Fiat-Shamir challenges) are identical to dalek's.
 """
 
 from .scalar import Scalar, batch_invert
@@ -34,67 +40,56 @@ class InnerProductProof:
     @staticmethod
     def create(transcript, Q: RistrettoPoint, G_factors, H_factors,
                G, H, a, b) -> "InnerProductProof":
-        """Mirrors InnerProductProof::create (inner_product_proof.rs).
+        """Equivalent to InnerProductProof::create (inner_product_proof.rs):
+        same transcript ops, same L/R points, same final a/b.
 
-        G, H: lists of RistrettoPoint; a, b: lists of Scalar; factors: Scalar.
-        All lists have length n (power of two).
+        G, H: lists of RistrettoPoint (length n, power of two); a, b:
+        lists of Scalar; G_factors/H_factors: Scalar (dalek's first-round
+        unrolled H' = y^-i H multiplication, folded here into the initial
+        coefficient vectors).
         """
-        n = len(G)
-        assert n == len(H) == len(a) == len(b)
-        assert n == len(G_factors) == len(H_factors)
-        assert n & (n - 1) == 0, "n must be a power of two"
+        n_full = len(G)
+        assert n_full == len(H) == len(a) == len(b)
+        assert n_full == len(G_factors) == len(H_factors)
+        assert n_full & (n_full - 1) == 0, "n must be a power of two"
 
-        innerproduct_domain_sep(transcript, n)
+        innerproduct_domain_sep(transcript, n_full)
+
+        # coefficient of original G_t / H_t inside the current virtual
+        # generators
+        gc = list(G_factors)
+        hc = list(H_factors)
+        a = list(a)
+        b = list(b)
 
         L_vec, R_vec = [], []
-
-        if n != 1:
-            # First fold unrolls the G/H factor multiplication.
-            n //= 2
-            a_L, a_R = a[:n], a[n:]
-            b_L, b_R = b[:n], b[n:]
-            G_L, G_R = G[:n], G[n:]
-            H_L, H_R = H[:n], H[n:]
-
-            c_L = _inner_product(a_L, b_R)
-            c_R = _inner_product(a_R, b_L)
-
-            L = msm(
-                [x * g for x, g in zip(a_L, G_factors[n:2 * n])]
-                + [x * h for x, h in zip(b_R, H_factors[0:n])] + [c_L],
-                G_R + H_L + [Q]).compress()
-            R = msm(
-                [x * g for x, g in zip(a_R, G_factors[0:n])]
-                + [x * h for x, h in zip(b_L, H_factors[n:2 * n])] + [c_R],
-                G_L + H_R + [Q]).compress()
-
-            append_point(transcript, b"L", L)
-            append_point(transcript, b"R", R)
-            L_vec.append(L)
-            R_vec.append(R)
-
-            u = challenge_scalar(transcript, b"u")
-            u_inv = u.invert()
-
-            a = [a_L[i] * u + u_inv * a_R[i] for i in range(n)]
-            b = [b_L[i] * u_inv + u * b_R[i] for i in range(n)]
-            G = [msm([u_inv * G_factors[i], u * G_factors[n + i]],
-                     [G_L[i], G_R[i]]) for i in range(n)]
-            H = [msm([u * H_factors[i], u_inv * H_factors[n + i]],
-                     [H_L[i], H_R[i]]) for i in range(n)]
-
+        n = n_full
         while n != 1:
-            n //= 2
-            a_L, a_R = a[:n], a[n:]
-            b_L, b_R = b[:n], b[n:]
-            G_L, G_R = G[:n], G[n:]
-            H_L, H_R = H[:n], H[n:]
+            half = n // 2
+            c_L = _inner_product(a[:half], b[half:])
+            c_R = _inner_product(a[half:], b[:half])
 
-            c_L = _inner_product(a_L, b_R)
-            c_R = _inner_product(a_R, b_L)
+            # scalar on G_t for L: position pos = t mod n; active when
+            # pos >= half with weight a[pos-half]*gc[t]; similarly H/R.
+            zero = Scalar.zero()
+            sGL, sHL, sGR, sHR = [], [], [], []
+            for t in range(n_full):
+                pos = t % n
+                g = gc[t]
+                h = hc[t]
+                if pos >= half:
+                    sGL.append(a[pos - half] * g)
+                    sHR.append(b[pos - half] * h)
+                    sGR.append(zero)
+                    sHL.append(zero)
+                else:
+                    sGL.append(zero)
+                    sHR.append(zero)
+                    sGR.append(a[pos] * g)
+                    sHL.append(b[half + pos] * h)
 
-            L = msm(a_L + b_R + [c_L], G_R + H_L + [Q]).compress()
-            R = msm(a_R + b_L + [c_R], G_L + H_R + [Q]).compress()
+            L = msm(sGL + sHL + [c_L], G + H + [Q]).compress()
+            R = msm(sGR + sHR + [c_R], G + H + [Q]).compress()
 
             append_point(transcript, b"L", L)
             append_point(transcript, b"R", R)
@@ -104,10 +99,16 @@ class InnerProductProof:
             u = challenge_scalar(transcript, b"u")
             u_inv = u.invert()
 
-            a = [a_L[i] * u + u_inv * a_R[i] for i in range(n)]
-            b = [b_L[i] * u_inv + u * b_R[i] for i in range(n)]
-            G = [msm([u_inv, u], [G_L[i], G_R[i]]) for i in range(n)]
-            H = [msm([u, u_inv], [H_L[i], H_R[i]]) for i in range(n)]
+            a = [a[i] * u + u_inv * a[i + half] for i in range(half)]
+            b = [b[i] * u_inv + u * b[i + half] for i in range(half)]
+            for t in range(n_full):
+                if (t % n) < half:
+                    gc[t] = gc[t] * u_inv
+                    hc[t] = hc[t] * u
+                else:
+                    gc[t] = gc[t] * u
+                    hc[t] = hc[t] * u_inv
+            n = half
 
         return InnerProductProof(L_vec, R_vec, a[0], b[0])
 
@@ -160,12 +161,12 @@ class InnerProductProof:
         lg_n = (num - 2) // 2
         if num != 2 * lg_n + 2:
             raise ProofError("IPP malformed")
+        if lg_n >= 32:
+            raise ProofError("IPP too large")
         L_vec, R_vec = [], []
         for i in range(lg_n):
             L_vec.append(data[64 * i:64 * i + 32])
             R_vec.append(data[64 * i + 32:64 * i + 64])
-        if lg_n >= 32:
-            raise ProofError("IPP too large")
         a = _from_canonical(data[-64:-32])
         b = _from_canonical(data[-32:])
         return InnerProductProof(L_vec, R_vec, a, b)

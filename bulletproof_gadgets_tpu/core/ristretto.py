@@ -76,7 +76,7 @@ D_MINUS_ONE_SQ = (D - 1) * (D - 1) % P
 class RistrettoPoint:
     """Extended Edwards coordinates (X:Y:Z:T), x*y = T/Z, on -x^2+y^2=1+d x^2 y^2."""
 
-    __slots__ = ("X", "Y", "Z", "T")
+    __slots__ = ("X", "Y", "Z", "T", "_limbs")
 
     def __init__(self, X, Y, Z, T):
         self.X, self.Y, self.Z, self.T = X % P, Y % P, Z % P, T % P

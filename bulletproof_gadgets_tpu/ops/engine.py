@@ -1,0 +1,61 @@
+"""Device engine wiring: registers TPU kernels as the core backends and
+configures the persistent XLA compilation cache (first TPU compile of each
+kernel shape is slow; subsequent runs hit the disk cache).
+
+MSM calls are padded to power-of-two sizes so the jit cache sees a handful
+of shapes regardless of circuit size.
+"""
+import os
+
+import jax
+
+from ..core import msm as core_msm
+from ..core.scalar import L
+from ..core.ristretto import RistrettoPoint
+from . import msm as dev_msm, curve
+
+_CACHE_DIR = os.environ.get(
+    "BPG_TPU_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "bpg_tpu", "xla"))
+
+MIN_DEVICE_MSM = int(os.environ.get("BPG_TPU_MIN_DEVICE_MSM", "192"))
+
+
+def _setup_compilation_cache():
+    try:
+        # TPU only: the XLA:CPU AOT cache loader warns about machine-feature
+        # mismatches on reload (miscompile risk), and CPU compiles are cheap.
+        if jax.default_backend() == "cpu":
+            return
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def msm_backend(ks, points) -> RistrettoPoint:
+    """core.msm backend: pads to the next power of two (zero scalars
+    contribute nothing), so jit compiles one graph per size bucket."""
+    n = len(ks)
+    target = _next_pow2(n)
+    if target > n:
+        ks = list(ks) + [0] * (target - n)
+        points = list(points) + [points[0]] * (target - n)
+    return dev_msm.msm(ks, points)
+
+
+_registered = False
+
+
+def register():
+    global _registered
+    if _registered:
+        return
+    _setup_compilation_cache()
+    core_msm.set_backend(msm_backend, MIN_DEVICE_MSM)
+    _registered = True
