@@ -85,7 +85,7 @@ class InnerProductProof:
                 else:
                     sGL.append(zero)
                     sHR.append(zero)
-                    sGR.append(a[pos] * g)
+                    sGR.append(a[half + pos] * g)
                     sHL.append(b[half + pos] * h)
 
             L = msm(sGL + sHL + [c_L], G + H + [Q]).compress()

@@ -59,13 +59,21 @@ class Scalar:
         return self.v % L
 
     # -- arithmetic (always reduces) --------------------------------------
-    def __add__(self, other: "Scalar") -> "Scalar":
+    # Non-Scalar operands return NotImplemented so LinearCombination's
+    # reflected operators take over (Scalar +/- LC appears in gadget code).
+    def __add__(self, other):
+        if not isinstance(other, Scalar):
+            return NotImplemented
         return Scalar((self.v + other.v) % L)
 
-    def __sub__(self, other: "Scalar") -> "Scalar":
+    def __sub__(self, other):
+        if not isinstance(other, Scalar):
+            return NotImplemented
         return Scalar((self.v - other.v) % L)
 
-    def __mul__(self, other: "Scalar") -> "Scalar":
+    def __mul__(self, other):
+        if not isinstance(other, Scalar):
+            return NotImplemented
         return Scalar((self.v * other.v) % L)
 
     def __neg__(self) -> "Scalar":

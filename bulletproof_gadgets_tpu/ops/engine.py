@@ -23,12 +23,9 @@ MIN_DEVICE_MSM = int(os.environ.get("BPG_TPU_MIN_DEVICE_MSM", "192"))
 
 def _setup_compilation_cache():
     try:
-        # TPU only: the XLA:CPU AOT cache loader warns about machine-feature
-        # mismatches on reload (miscompile risk), and CPU compiles are cheap.
-        if jax.default_backend() == "cpu":
-            return
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        cache_dir = os.path.join(_CACHE_DIR, jax.default_backend())
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
