@@ -12,7 +12,7 @@ from ..core.r1cs import Prover
 from ..core.recorder import RecordingCS, OP_COMMIT
 from ..core.lc import to_lc
 from ..core.scalar import Scalar
-from ..utils.merlin import Transcript
+from ..utils.merlin import new_transcript as Transcript
 from ..utils.conversions import be_to_scalar, be_to_scalars, scalar_to_be
 from ..utils import rng
 from ..models.bounds_check import BoundsCheck

@@ -12,7 +12,7 @@ from ..core.recorder import RecordingCS
 from ..core.proof import R1CSProof
 from ..core.transcript import ProofError
 from ..core.lc import to_lc
-from ..utils.merlin import Transcript
+from ..utils.merlin import new_transcript as Transcript
 from ..utils.conversions import be_to_scalar, be_to_scalars
 from ..models.bounds_check import BoundsCheck
 from ..models.equality import Equality

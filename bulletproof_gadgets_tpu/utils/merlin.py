@@ -128,3 +128,14 @@ class Transcript:
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(_encode_u32(n), True)
         return self.strobe.prf(n, False)
+
+
+def new_transcript(label: bytes):
+    """Factory: native (C) transcript when available, Python otherwise."""
+    try:
+        from ..native import load, NativeTranscript
+        if load() is not None:
+            return NativeTranscript(label)
+    except Exception:
+        pass
+    return Transcript(label)

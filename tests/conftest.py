@@ -14,4 +14,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("BPG_TPU_TESTS_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
