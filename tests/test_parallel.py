@@ -13,6 +13,7 @@ from bulletproof_gadgets_tpu.parallel.sharded_msm import msm_sharded
 rnd = random.Random(11)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_msm_matches_host():
     mesh = make_mesh()
@@ -24,6 +25,7 @@ def test_sharded_msm_matches_host():
     assert got == msm_host(ks, pts)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_msm_uneven_padding():
     mesh = make_mesh()
