@@ -26,7 +26,8 @@ def main():
     import jax.numpy as jnp
     from bulletproof_gadgets_tpu.core.ristretto import RISTRETTO_BASEPOINT
     from bulletproof_gadgets_tpu.core.scalar import L
-    from bulletproof_gadgets_tpu.ops import curve, msm as msm_ops
+    from bulletproof_gadgets_tpu.ops import curve, msm as msm_ops, msm_cols
+    from bulletproof_gadgets_tpu.ops.pallas_curve import to_cols
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
     c = msm_ops.choose_c(n)
@@ -35,10 +36,11 @@ def main():
     # Device-side point generation: prefix scan of n copies of the basepoint
     # gives [B, 2B, ..., nB] without host big-int work.
     base = curve.points_to_device([RISTRETTO_BASEPOINT])
-    tiled = tuple(jnp.tile(x, (n, 1)) for x in base)
+    tiled = to_cols(tuple(jnp.tile(x, (n, 1)) for x in base))
     t0 = time.time()
-    points = jax.jit(msm_ops._prefix_scan)(tiled)
-    jax.block_until_ready(points)
+    points = msm_cols._masked_scan(tiled, n, (n - 1).bit_length())
+    points = tuple(np.asarray(x) for x in points)  # force + keep resident
+    points = tuple(jnp.asarray(x) for x in points)
     log(f"point generation: {time.time() - t0:.1f}s")
 
     rnd = np.random.default_rng(42)
@@ -49,16 +51,20 @@ def main():
 
     # warmup/compile
     t0 = time.time()
-    ws = msm_ops.window_sums(digits, points, c)
-    jax.block_until_ready(ws)
+    ws = msm_cols.window_sums(digits, points, c)
+    sink0 = int(np.asarray(ws[0]).sum())
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     iters = 3
     t0 = time.time()
+    sink = 0
     for _ in range(iters):
-        ws = msm_ops.window_sums(digits, points, c)
-        jax.block_until_ready(ws)
+        ws = msm_cols.window_sums(digits, points, c)
+        # force full materialization on host: block_until_ready may be lazy
+        # across remote-device tunnels
+        sink ^= int(np.asarray(ws[0]).sum())
     dt = (time.time() - t0) / iters
+    log(f"sink={sink}")
     result = msm_ops.horner_combine(ws, c)
     log(f"per-MSM wall: {dt:.3f}s; result {result.compress().hex()[:16]}...")
 

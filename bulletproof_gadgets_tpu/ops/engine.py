@@ -12,7 +12,7 @@ import jax
 from ..core import msm as core_msm
 from ..core.scalar import L
 from ..core.ristretto import RistrettoPoint
-from . import msm as dev_msm, curve
+from . import msm as dev_msm, msm_cols, curve
 
 _CACHE_DIR = os.environ.get(
     "BPG_TPU_XLA_CACHE",
@@ -43,7 +43,9 @@ def msm_backend(ks, points) -> RistrettoPoint:
     if target > n:
         ks = list(ks) + [0] * (target - n)
         points = list(points) + [points[0]] * (target - n)
-    return dev_msm.msm(ks, points)
+    if os.environ.get("BPG_TPU_MSM_IMPL") == "rows":
+        return dev_msm.msm(ks, points)
+    return msm_cols.msm(ks, points)
 
 
 _registered = False

@@ -38,8 +38,11 @@ from ..core.ristretto import RistrettoPoint
 
 
 def choose_c(n: int) -> int:
-    # byte-aligned windows so digit extraction is a numpy view
-    return 8 if n < (1 << 16) else 16
+    # Byte-aligned windows so digit extraction is a numpy view.  c=8 wins for
+    # every practical size with scan-based bucket aggregation: its bucket
+    # stage costs 3*128*log(128) point-ops per window vs 3*2^15*15 for c=16,
+    # which dwarfs the halved window count (measured crossover > 2^20).
+    return 8
 
 
 def signed_digits(scalars, c: int) -> np.ndarray:
