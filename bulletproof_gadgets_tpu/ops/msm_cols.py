@@ -49,6 +49,16 @@ def _select(mask_lanes, a, b_cols):
 _IDENT_COLS = (_ID_X, _ID_Y, _ID_Y, _ID_X)
 
 
+def _scan(x, seg: int):
+    """Segmented scan: blocked Pallas version when shapes allow, masked
+    Hillis-Steele fallback otherwise."""
+    m = x[0].shape[1]
+    from .pallas_scan import scan_segmented, CH
+    if m % CH == 0 and (seg % CH == 0 or CH % seg == 0):
+        return scan_segmented(x, seg)
+    return _masked_scan(x, seg, max(1, (seg - 1).bit_length()))
+
+
 def _masked_scan(x, seg: int, log_steps: int):
     """Inclusive prefix scan within segments of length `seg` along lanes.
     x: pytree [NL, m] with m % seg == 0."""
@@ -112,8 +122,7 @@ def _window_sums_cols(digits, points_cols, c: int):
                 for g, gn in zip(gathered, gathered_neg))
     pts = _select(~is_zero, pts, _IDENT_COLS)
 
-    log_n = max(1, (n - 1).bit_length())
-    prefix = _masked_scan(pts, n, log_n)         # [NL, W*n]
+    prefix = _scan(pts, n)                       # [NL, W*n]
 
     # bucket boundaries: counts[w, b] = #keys <= b in window w
     bvals = jnp.arange(num_buckets + 1, dtype=keys_s.dtype)  # 0..B
@@ -134,9 +143,8 @@ def _window_sums_cols(digits, points_cols, c: int):
     # weighted sum: reverse within window, suffix scan, then total scan
     rev = tuple(x.reshape(NL, W, num_buckets)[:, :, ::-1]
                 .reshape(NL, W * num_buckets) for x in buckets)
-    log_b = max(1, (num_buckets - 1).bit_length())
-    suffix = _masked_scan(rev, num_buckets, log_b)
-    total = _masked_scan(suffix, num_buckets, log_b)
+    suffix = _scan(rev, num_buckets)
+    total = _scan(suffix, num_buckets)
     lastpos = (jnp.arange(W, dtype=jnp.int32) * num_buckets
                + (num_buckets - 1))
     wsums = tuple(x[:, lastpos] for x in total)      # [NL, W]
