@@ -36,6 +36,21 @@ class R1CSError(Exception):
     pass
 
 
+class Metrics:
+    """bulletproofs::r1cs::Metrics equivalent (multipliers / constraints;
+    exposed by the reference via cs.metrics(), src/cs_buffer.rs:108-110)."""
+
+    __slots__ = ("multipliers", "constraints")
+
+    def __init__(self, multipliers: int, constraints: int):
+        self.multipliers = multipliers
+        self.constraints = constraints
+
+    def __repr__(self):
+        return (f"Metrics(multipliers={self.multipliers}, "
+                f"constraints={self.constraints})")
+
+
 def _next_pow2(n: int) -> int:
     if n <= 1:
         return 1
@@ -84,6 +99,9 @@ class Prover:
 
     def get_num_multiplications(self) -> int:
         return len(self.a_L)
+
+    def metrics(self) -> "Metrics":
+        return Metrics(len(self.a_L), len(self.constraints))
 
     # -- high-level variables ---------------------------------------------
     def commit(self, v: Scalar, v_blinding: Scalar):
@@ -311,6 +329,9 @@ class Verifier:
 
     def get_num_vars(self) -> int:
         return self.num_vars
+
+    def metrics(self) -> "Metrics":
+        return Metrics(self.num_vars, len(self.constraints))
 
     def num_constraints(self) -> int:
         return len(self.constraints)
