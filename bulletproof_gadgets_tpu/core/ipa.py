@@ -55,62 +55,61 @@ class InnerProductProof:
 
         innerproduct_domain_sep(transcript, n_full)
 
-        # coefficient of original G_t / H_t inside the current virtual
-        # generators
-        gc = list(G_factors)
-        hc = list(H_factors)
-        a = list(a)
-        b = list(b)
+        # Hot path: raw-int modular arithmetic (Scalar wrappers only at the
+        # transcript boundary).  gc/hc = coefficient of original G_t / H_t
+        # inside the current virtual generators.
+        from .scalar import L as _q
+        gc = [s.v % _q for s in G_factors]
+        hc = [s.v % _q for s in H_factors]
+        a = [s.v % _q for s in a]
+        b = [s.v % _q for s in b]
 
         L_vec, R_vec = [], []
+        pts_all = G + H + [Q]   # one stable list => backend device cache
         n = n_full
         while n != 1:
             half = n // 2
-            c_L = _inner_product(a[:half], b[half:])
-            c_R = _inner_product(a[half:], b[:half])
+            c_L = sum(a[i] * b[half + i] for i in range(half)) % _q
+            c_R = sum(a[half + i] * b[i] for i in range(half)) % _q
 
             # scalar on G_t for L: position pos = t mod n; active when
             # pos >= half with weight a[pos-half]*gc[t]; similarly H/R.
-            zero = Scalar.zero()
-            sGL, sHL, sGR, sHR = [], [], [], []
+            sGL = [0] * n_full
+            sHL = [0] * n_full
+            sGR = [0] * n_full
+            sHR = [0] * n_full
             for t in range(n_full):
                 pos = t % n
-                g = gc[t]
-                h = hc[t]
                 if pos >= half:
-                    sGL.append(a[pos - half] * g)
-                    sHR.append(b[pos - half] * h)
-                    sGR.append(zero)
-                    sHL.append(zero)
+                    sGL[t] = a[pos - half] * gc[t] % _q
+                    sHR[t] = b[pos - half] * hc[t] % _q
                 else:
-                    sGL.append(zero)
-                    sHR.append(zero)
-                    sGR.append(a[half + pos] * g)
-                    sHL.append(b[half + pos] * h)
+                    sGR[t] = a[half + pos] * gc[t] % _q
+                    sHL[t] = b[half + pos] * hc[t] % _q
 
-            L = msm(sGL + sHL + [c_L], G + H + [Q]).compress()
-            R = msm(sGR + sHR + [c_R], G + H + [Q]).compress()
+            L = msm(sGL + sHL + [c_L], pts_all).compress()
+            R = msm(sGR + sHR + [c_R], pts_all).compress()
 
             append_point(transcript, b"L", L)
             append_point(transcript, b"R", R)
             L_vec.append(L)
             R_vec.append(R)
 
-            u = challenge_scalar(transcript, b"u")
-            u_inv = u.invert()
+            u = challenge_scalar(transcript, b"u").v
+            u_inv = pow(u, _q - 2, _q)
 
-            a = [a[i] * u + u_inv * a[i + half] for i in range(half)]
-            b = [b[i] * u_inv + u * b[i + half] for i in range(half)]
+            a = [(a[i] * u + u_inv * a[i + half]) % _q for i in range(half)]
+            b = [(b[i] * u_inv + u * b[i + half]) % _q for i in range(half)]
             for t in range(n_full):
                 if (t % n) < half:
-                    gc[t] = gc[t] * u_inv
-                    hc[t] = hc[t] * u
+                    gc[t] = gc[t] * u_inv % _q
+                    hc[t] = hc[t] * u % _q
                 else:
-                    gc[t] = gc[t] * u
-                    hc[t] = hc[t] * u_inv
+                    gc[t] = gc[t] * u % _q
+                    hc[t] = hc[t] * u_inv % _q
             n = half
 
-        return InnerProductProof(L_vec, R_vec, a[0], b[0])
+        return InnerProductProof(L_vec, R_vec, Scalar(a[0]), Scalar(b[0]))
 
     def verification_scalars(self, n: int, transcript):
         """(u_sq, u_inv_sq, s) for the verifier's single mega-MSM."""

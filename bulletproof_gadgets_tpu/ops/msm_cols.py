@@ -155,12 +155,29 @@ def window_sums(digits: np.ndarray, points_cols, c: int):
     return _window_sums_cols(jnp.asarray(digits), points_cols, c)
 
 
+_cols_cache = {}          # id(points list) -> (points list ref, cols pytree)
+_COLS_CACHE_MAX = 4
+
+
+def _points_cols_cached(points):
+    """Device cols arrays for a host point list, cached by list identity
+    (the IPA reuses one stable G+H+[Q] list across all rounds)."""
+    key = id(points)
+    hit = _cols_cache.get(key)
+    if hit is not None and hit[0] is points and len(points) == hit[2]:
+        return hit[1]
+    cols = to_cols(curve.points_to_device(points))
+    if len(_cols_cache) >= _COLS_CACHE_MAX:
+        _cols_cache.pop(next(iter(_cols_cache)))
+    _cols_cache[key] = (points, cols, len(points))
+    return cols
+
+
 def msm(scalars, points) -> RistrettoPoint:
     """Host entry: scalars list[int], points list[RistrettoPoint]."""
     ks = [k % L for k in scalars]
     c = choose_c(len(ks))
     digits = signed_digits(ks, c)
-    pts_rows = curve.points_to_device(points)
-    pts_cols = to_cols(pts_rows)
+    pts_cols = _points_cols_cached(points)
     wsums = window_sums(digits, pts_cols, c)
     return horner_combine(wsums, c)
