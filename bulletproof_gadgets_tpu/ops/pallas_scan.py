@@ -58,12 +58,10 @@ def _scan_block_kernel(seg: int, bias, d2, idx, idy,
 
 def _offset_kernel(bias, d2, offx, offy, offz, offt,
                    x, y, z, t, ox, oy, oz, ot):
-    # offsets come in whole ([NL, nb]); pick this block's column by
-    # program_id (per-block (NL, 1) BlockSpecs violate TPU tiling rules)
-    pid = pl.program_id(0)
-    off = tuple(jnp.broadcast_to(o[:, pl.ds(pid, 1)], (NL, CH))
-                for o in (offx, offy, offz, offt))
-    acc = _padd_body(bias[:], d2[:], x[:], y[:], z[:], t[:], *off)
+    # offsets arrive pre-broadcast to [NL, CH] per block (Mosaic cannot
+    # index lanes dynamically without 128-alignment proofs)
+    acc = _padd_body(bias[:], d2[:], x[:], y[:], z[:], t[:],
+                     offx[:], offy[:], offz[:], offt[:])
     ox[:], oy[:], oz[:], ot[:] = acc
 
 
@@ -105,14 +103,14 @@ def scan_segmented(pts, seg: int):
     exclusive = tuple(jnp.where((blane > 0)[None, :], r, jnp.asarray(i))
                       for r, i in zip(rolled, idc))
 
-    # pass 3: add block offsets (offsets array passed whole to every block)
-    off_spec = pl.BlockSpec((NL, nb), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    # pass 3: add block offsets (pre-broadcast to full lane width outside
+    # the kernel; Mosaic disallows unaligned dynamic lane indexing inside)
+    exclusive = tuple(jnp.repeat(x, CH, axis=1) for x in exclusive)
     out = pl.pallas_call(
         _offset_kernel,
         grid=grid,
         in_specs=[cspec] * 2
-        + [off_spec] * 4 + [spec] * 4,
+        + [spec] * 4 + [spec] * 4,
         out_specs=[spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((NL, m), jnp.int32)] * 4,
         interpret=_use_interpret(),
