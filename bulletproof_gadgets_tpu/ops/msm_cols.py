@@ -49,13 +49,19 @@ def _select(mask_lanes, a, b_cols):
 _IDENT_COLS = (_ID_X, _ID_Y, _ID_Y, _ID_X)
 
 
+import os as _os
+
+
 def _scan(x, seg: int):
-    """Segmented scan: blocked Pallas version when shapes allow, masked
-    Hillis-Steele fallback otherwise."""
+    """Segmented scan.  The blocked Pallas version (~3 HBM passes) is opt-in
+    via BPG_TPU_BLOCKED_SCAN=1 while the remote Mosaic compiles for large
+    shapes stabilize; default is the masked Hillis-Steele with the fused
+    padd kernel (validated across all statements on hardware)."""
     m = x[0].shape[1]
-    from .pallas_scan import scan_segmented, CH
-    if m % CH == 0 and (seg % CH == 0 or CH % seg == 0):
-        return scan_segmented(x, seg)
+    if _os.environ.get("BPG_TPU_BLOCKED_SCAN") == "1":
+        from .pallas_scan import scan_segmented, CH
+        if m % CH == 0 and (seg % CH == 0 or CH % seg == 0):
+            return scan_segmented(x, seg)
     return _masked_scan(x, seg, max(1, (seg - 1).bit_length()))
 
 

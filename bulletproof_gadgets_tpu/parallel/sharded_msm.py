@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..ops import curve, msm as msm_ops
+from ..ops import curve, msm as msm_ops, msm_cols
+from ..ops.pallas_curve import to_cols
 from ..core.scalar import L
 from ..core.ristretto import RistrettoPoint
 
@@ -52,24 +53,26 @@ def sharded_window_sums(mesh, digits, points_dev, c: int):
     n = digits.shape[0]
     assert n % n_shard == 0, (n, n_shard)
 
-    point_spec = P("shard", None)
+    digit_spec = P("shard", None)
+    point_spec = P(None, "shard")     # cols layout: lanes are sharded
     out_spec = P(None, None)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(point_spec, (point_spec,) * 4),
+             in_specs=(digit_spec, (point_spec,) * 4),
              out_specs=(out_spec,) * 4,
              check_rep=False)
     def f(d, pts):
-        local = msm_ops._msm_window_sums(d, pts, c)
-        gathered = jax.lax.all_gather(local, "shard")  # [n_shard, windows, NL]
+        local = msm_cols._window_sums_cols(d, pts, c)   # [W, NL] rows
+        gathered = jax.lax.all_gather(local, "shard")   # [n_shard, W, NL]
         return _tree_combine(gathered)
 
     digits = jax.device_put(
-        jnp.asarray(digits), NamedSharding(mesh, point_spec))
-    points_dev = tuple(
+        jnp.asarray(digits), NamedSharding(mesh, digit_spec))
+    points_cols = to_cols(points_dev)
+    points_cols = tuple(
         jax.device_put(x, NamedSharding(mesh, point_spec))
-        for x in points_dev)
-    return f(digits, points_dev)
+        for x in points_cols)
+    return f(digits, points_cols)
 
 
 def msm_sharded(mesh, scalars, points) -> RistrettoPoint:
