@@ -39,7 +39,7 @@ class InnerProductProof:
 
     @staticmethod
     def create(transcript, Q: RistrettoPoint, G_factors, H_factors,
-               G, H, a, b) -> "InnerProductProof":
+               G, H, a, b, table=None, w=None) -> "InnerProductProof":
         """Equivalent to InnerProductProof::create (inner_product_proof.rs):
         same transcript ops, same L/R points, same final a/b.
 
@@ -47,6 +47,12 @@ class InnerProductProof:
         lists of Scalar; G_factors/H_factors: Scalar (dalek's first-round
         unrolled H' = y^-i H multiplication, folded here into the initial
         coefficient vectors).
+
+        table/w: optional device generator table [G | H | B | B_blinding]
+        (core.msm.generator_table) whose G/H slots are exactly the G/H
+        arguments, plus the Fiat-Shamir scalar w with Q = w*B.  When given,
+        each round's L and R are ONE batched device launch over the
+        resident table (the c_L*Q / c_R*Q terms ride the B slot as c*w).
         """
         n_full = len(G)
         assert n_full == len(H) == len(a) == len(b)
@@ -64,8 +70,9 @@ class InnerProductProof:
         a = [s.v % _q for s in a]
         b = [s.v % _q for s in b]
 
+        w_int = w.v % _q if w is not None else None
         L_vec, R_vec = [], []
-        pts_all = G + H + [Q]   # one stable list => backend device cache
+        pts_all = None if table is not None else G + H + [Q]
         n = n_full
         while n != 1:
             half = n // 2
@@ -87,8 +94,15 @@ class InnerProductProof:
                     sGR[t] = a[half + pos] * gc[t] % _q
                     sHL[t] = b[half + pos] * hc[t] % _q
 
-            L = msm(sGL + sHL + [c_L], pts_all).compress()
-            R = msm(sGR + sHR + [c_R], pts_all).compress()
+            if table is not None:
+                vL = sGL + sHL + [c_L * w_int % _q, 0]
+                vR = sGR + sHR + [c_R * w_int % _q, 0]
+                pL, pR = table.msm_many([vL, vR])
+                L = pL.compress()
+                R = pR.compress()
+            else:
+                L = msm(sGL + sHL + [c_L], pts_all).compress()
+                R = msm(sGR + sHR + [c_R], pts_all).compress()
 
             append_point(transcript, b"L", L)
             append_point(transcript, b"R", R)

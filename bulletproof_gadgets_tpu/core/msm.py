@@ -13,6 +13,7 @@ from .scalar import L
 
 _backend = None
 _BACKEND_MIN_SIZE = 64
+_table_factory = None
 
 
 def set_backend(backend, min_size: int = 64) -> None:
@@ -21,6 +22,34 @@ def set_backend(backend, min_size: int = 64) -> None:
     global _backend, _BACKEND_MIN_SIZE
     _backend = backend
     _BACKEND_MIN_SIZE = min_size
+
+
+def set_table_factory(factory) -> None:
+    """factory(G, H, B, B_blinding) -> object with
+    msm_many(vectors: list[list[int]]) -> list[RistrettoPoint] over the
+    fixed point table [G | H | B | B_blinding]."""
+    global _table_factory
+    _table_factory = factory
+
+
+class _HostTable:
+    """Correctness-oracle table: plain per-vector host Pippenger."""
+
+    def __init__(self, G, H, B, B_blinding):
+        self.points = list(G) + list(H) + [B, B_blinding]
+        self.N = len(G)
+        self.m = len(self.points)
+
+    def msm_many(self, vectors):
+        return [msm_host([k % L for k in v], self.points) for v in vectors]
+
+
+def generator_table(G, H, B, B_blinding):
+    """Prover MSM table over [G | H | B | B_blinding] (device-resident when
+    the TPU engine is registered and the size clears its threshold)."""
+    if _table_factory is not None and (2 * len(G) + 2) >= _BACKEND_MIN_SIZE:
+        return _table_factory(G, H, B, B_blinding)
+    return _HostTable(G, H, B, B_blinding)
 
 
 def msm(scalars, points) -> RistrettoPoint:

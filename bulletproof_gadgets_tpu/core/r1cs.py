@@ -28,7 +28,7 @@ from .transcript import (r1cs_domain_sep, r1cs_1phase_domain_sep,
                          ProofError)
 from .proof import R1CSProof
 from .ipa import InnerProductProof
-from .msm import msm
+from .msm import msm, generator_table
 from ..utils import rng
 
 
@@ -193,8 +193,18 @@ class Prover:
         n1 = len(self.a_L)
         if bp_gens.gens_capacity < n1:
             raise R1CSError("invalid generators length")
-        G = bp_gens.G(n1)
-        H = bp_gens.H(n1)
+        padded_n1 = _next_pow2(n1)
+        if bp_gens.gens_capacity < padded_n1:
+            raise R1CSError("invalid generators length")
+
+        # Device-resident [G | H | B | B_blinding] table sized to the padded
+        # circuit: points upload once; every prover MSM from here on (the
+        # three vector commitments below and all IPA L/R pairs) is a scalar
+        # vector over this table, batched into shared launches.
+        G_pad = bp_gens.G(padded_n1)
+        H_pad = bp_gens.H(padded_n1)
+        table = generator_table(G_pad, H_pad,
+                                self.pc_gens.B, self.pc_gens.B_blinding)
 
         i_blinding1 = rng.random_scalar()
         o_blinding1 = rng.random_scalar()
@@ -202,11 +212,19 @@ class Prover:
         s_L1 = [rng.random_scalar() for _ in range(n1)]
         s_R1 = [rng.random_scalar() for _ in range(n1)]
 
-        B_b = self.pc_gens.B_blinding
-        A_I1 = msm([i_blinding1] + self.a_L + self.a_R,
-                   [B_b] + G + H).compress()
-        A_O1 = msm([o_blinding1] + self.a_O, [B_b] + G).compress()
-        S1 = msm([s_blinding1] + s_L1 + s_R1, [B_b] + G + H).compress()
+        pad1 = padded_n1 - n1
+        zpad = [0] * pad1
+        zeros_N = [0] * padded_n1
+        v_AI = ([s.v for s in self.a_L] + zpad
+                + [s.v for s in self.a_R] + zpad + [0, i_blinding1.v])
+        v_AO = ([s.v for s in self.a_O] + zpad
+                + zeros_N + [0, o_blinding1.v])
+        v_S = ([s.v for s in s_L1] + zpad
+               + [s.v for s in s_R1] + zpad + [0, s_blinding1.v])
+        p_AI, p_AO, p_S = table.msm_many([v_AI, v_AO, v_S])
+        A_I1 = p_AI.compress()
+        A_O1 = p_AO.compress()
+        S1 = p_S.compress()
 
         append_point(t, b"A_I1", A_I1)
         append_point(t, b"A_O1", A_O1)
@@ -307,10 +325,11 @@ class Prover:
         G_factors = ([Scalar.one()] * n1 + [u] * (n2 + pad))
         H_factors = [exp_y_inv[i] * G_factors[i] for i in range(padded_n)]
 
+        assert padded_n == padded_n1
         ipp = InnerProductProof.create(
             t, Q, G_factors, H_factors,
             list(bp_gens.G(padded_n)), list(bp_gens.H(padded_n)),
-            l_vec, r_vec)
+            l_vec, r_vec, table=table, w=w)
 
         return R1CSProof(A_I1, A_O1, S1, A_I2, A_O2, S2,
                          T_1, T_3, T_4, T_5, T_6,
@@ -469,28 +488,33 @@ class Verifier:
                 raise ProofError("invalid point encoding")
             return p
 
-        scalars = ([x, xx, xxx, u * x, u * xx, u * xxx]
-                   + [wVi * rxx for wVi in wV]
-                   + T_scalars
-                   + [w * (proof.t_x - a * b) + r * (xx * (wc + delta)
-                                                     - proof.t_x)]
-                   + [-proof.e_blinding - r * proof.t_x_blinding]
-                   + g_scalars
-                   + h_scalars
-                   + u_sq
-                   + u_inv_sq)
+        # Split the mega-MSM: the bulk rides the device-resident
+        # [G | H | B | B_blinding] table (same table object the prover used —
+        # no per-verify point upload, one cached kernel shape per size);
+        # only the O(m + log n) proof-dependent points go through a small
+        # dynamic MSM.
+        table_vec = ([s.v for s in g_scalars]
+                     + [s.v for s in h_scalars]
+                     + [(w * (proof.t_x - a * b)
+                         + r * (xx * (wc + delta) - proof.t_x)).v]
+                     + [(-proof.e_blinding - r * proof.t_x_blinding).v])
+        table = generator_table(bp_gens.G(padded_n), bp_gens.H(padded_n),
+                                pc_gens.B, pc_gens.B_blinding)
+        (table_part,) = table.msm_many([table_vec])
 
-        points = ([decompress(proof.A_I1), decompress(proof.A_O1),
-                   decompress(proof.S1), decompress(proof.A_I2),
-                   decompress(proof.A_O2), decompress(proof.S2)]
-                  + [decompress(Vb) for Vb in self.V]
-                  + [decompress(Tb) for Tb in T_points]
-                  + [pc_gens.B, pc_gens.B_blinding]
-                  + list(bp_gens.G(padded_n))
-                  + list(bp_gens.H(padded_n))
-                  + [decompress(Lb) for Lb in proof.ipp_proof.L_vec]
-                  + [decompress(Rb) for Rb in proof.ipp_proof.R_vec])
+        dyn_scalars = ([x, xx, xxx, u * x, u * xx, u * xxx]
+                       + [wVi * rxx for wVi in wV]
+                       + T_scalars
+                       + u_sq
+                       + u_inv_sq)
+        dyn_points = ([decompress(proof.A_I1), decompress(proof.A_O1),
+                       decompress(proof.S1), decompress(proof.A_I2),
+                       decompress(proof.A_O2), decompress(proof.S2)]
+                      + [decompress(Vb) for Vb in self.V]
+                      + [decompress(Tb) for Tb in T_points]
+                      + [decompress(Lb) for Lb in proof.ipp_proof.L_vec]
+                      + [decompress(Rb) for Rb in proof.ipp_proof.R_vec])
 
-        mega_check = msm(scalars, points)
+        mega_check = table_part + msm(dyn_scalars, dyn_points)
         if not (mega_check == RistrettoPoint.identity()):
             raise R1CSError("verification error")

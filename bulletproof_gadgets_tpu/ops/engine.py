@@ -48,6 +48,25 @@ def msm_backend(ks, points) -> RistrettoPoint:
     return msm_cols.msm(ks, points)
 
 
+_table_cache = {}
+_TABLE_CACHE_MAX = 3
+
+
+def _table_factory(G, H, B, B_blinding):
+    """GeneratorTable cache: bp gens are deterministic and process-wide
+    (core.gens grows one monotone list), so (size, endpoint object ids,
+    pedersen coords) pins the table identity without hashing the points."""
+    key = (len(G), id(G[0]) if G else 0, id(G[-1]) if G else 0,
+           B.X, B.Y, B_blinding.X, B_blinding.Y)
+    t = _table_cache.get(key)
+    if t is None:
+        t = msm_cols.GeneratorTable(G, H, B, B_blinding)
+        if len(_table_cache) >= _TABLE_CACHE_MAX:
+            _table_cache.pop(next(iter(_table_cache)))
+        _table_cache[key] = t
+    return t
+
+
 _registered = False
 
 
@@ -57,4 +76,5 @@ def register():
         return
     _setup_compilation_cache()
     core_msm.set_backend(msm_backend, MIN_DEVICE_MSM)
+    core_msm.set_table_factory(_table_factory)
     _registered = True

@@ -187,3 +187,53 @@ def msm(scalars, points) -> RistrettoPoint:
     pts_cols = _points_cols_cached(points)
     wsums = window_sums(digits, pts_cols, c)
     return horner_combine(wsums, c)
+
+
+class GeneratorTable:
+    """Device-resident prover MSM table: [G_0..G_{N-1} | H_0..H_{N-1} | B |
+    B_blinding] in cols layout, uploaded to HBM once per proof size.
+
+    This is the TPU-first answer to dalek keeping generator slices on the
+    CPU heap (SURVEY.md §2.B "device-resident G/H arrays"): every prover
+    MSM — the A_I/A_O/S vector commitments and each IPA round's L/R — is a
+    scalar vector over this ONE fixed point set, so (a) points never
+    re-upload, (b) several MSMs batch into a single window_sums launch by
+    stacking their digit windows along the window axis, and (c) the jit
+    cache sees exactly one digits shape per (proof size, batch width).
+    """
+
+    __slots__ = ("N", "m", "mp", "c", "cols")
+
+    def __init__(self, G, H, B, B_blinding):
+        self.N = len(G)
+        assert len(H) == self.N
+        self.m = 2 * self.N + 2
+        # pad lanes to a 512-multiple with identity points (zero digits) so
+        # the blocked Pallas scan's alignment constraints hold for segments
+        # of the full table width
+        from .pallas_scan import CH
+        self.mp = -(-self.m // CH) * CH
+        pad = [RistrettoPoint.identity()] * (self.mp - self.m)
+        self.c = choose_c(self.mp)
+        self.cols = to_cols(curve.points_to_device(
+            list(G) + list(H) + [B, B_blinding] + pad))
+
+    def msm_many(self, vectors):
+        """vectors: list of length-m scalar vectors (ints, any residue).
+        Returns list[RistrettoPoint], one per vector — ONE device launch."""
+        W = 32 * 8 // self.c          # windows per vector (c | 8)
+        zpad = [0] * (self.mp - self.m)
+        digit_blocks = [signed_digits([k % L for k in v] + zpad, self.c)
+                        for v in vectors]
+        digits = np.concatenate(digit_blocks, axis=1)      # [mp, k*W]
+        ws = window_sums(digits, self.cols, self.c)        # [k*W, NL] rows
+        pts = curve.points_from_device(ws)
+        out = []
+        for g in range(len(vectors)):
+            acc = RistrettoPoint.identity()
+            for wp in reversed(pts[g * W:(g + 1) * W]):
+                for _ in range(self.c):
+                    acc = acc.double()
+                acc = acc + wp
+            out.append(acc)
+        return out
