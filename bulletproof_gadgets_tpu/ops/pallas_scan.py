@@ -58,8 +58,9 @@ def _scan_block_kernel(seg: int, bias, d2, idx, idy,
 
 def _offset_kernel(bias, d2, offx, offy, offz, offt,
                    x, y, z, t, ox, oy, oz, ot):
-    # offsets arrive pre-broadcast to [NL, CH] per block (Mosaic cannot
-    # index lanes dynamically without 128-alignment proofs)
+    # each grid step receives ITS block's [NL, 1] offset column via the
+    # BlockSpec index map — broadcast happens in-register inside _padd_body,
+    # so no [NL, m] pre-broadcast array ever touches HBM
     acc = _padd_body(bias[:], d2[:], x[:], y[:], z[:], t[:],
                      offx[:], offy[:], offz[:], offt[:])
     ox[:], oy[:], oz[:], ot[:] = acc
@@ -103,14 +104,15 @@ def scan_segmented(pts, seg: int):
     exclusive = tuple(jnp.where((blane > 0)[None, :], r, jnp.asarray(i))
                       for r, i in zip(rolled, idc))
 
-    # pass 3: add block offsets (pre-broadcast to full lane width outside
-    # the kernel; Mosaic disallows unaligned dynamic lane indexing inside)
-    exclusive = tuple(jnp.repeat(x, CH, axis=1) for x in exclusive)
+    # pass 3: add block offsets — block i reads its own [NL, 1] offset
+    # column straight from the [NL, nb] array via the index map
+    off_spec = pl.BlockSpec((NL, 1), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _offset_kernel,
         grid=grid,
         in_specs=[cspec] * 2
-        + [spec] * 4 + [spec] * 4,
+        + [off_spec] * 4 + [spec] * 4,
         out_specs=[spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((NL, m), jnp.int32)] * 4,
         interpret=_use_interpret(),
