@@ -142,8 +142,13 @@ def padd_cols(p, q):
     """p, q: pytrees of [NL, n] int32 (n a multiple of BLOCK).
     Returns padd(p, q) in the same layout, fused in one Pallas pass."""
     n = p[0].shape[1]
-    grid = (n // BLOCK,)
-    spec = pl.BlockSpec((NL, BLOCK), lambda i: (0, i),
+    # whole-array blocks are always Mosaic-legal; tiles narrower than the
+    # array must be lane-aligned.  n < BLOCK with grid (n // BLOCK,) == (0,)
+    # would run ZERO kernel instances and return garbage on hardware.
+    blk = n if n < BLOCK else BLOCK
+    assert n % blk == 0, (n, blk)
+    grid = (n // blk,)
+    spec = pl.BlockSpec((NL, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((NL, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)

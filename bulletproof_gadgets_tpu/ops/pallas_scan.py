@@ -42,14 +42,19 @@ def _roll_lanes(x, s):
 def _scan_block_kernel(seg: int, bias, d2, idx, idy,
                        x, y, z, t, ox, oy, oz, ot):
     pid = pl.program_id(0)
-    gl = (pid * CH + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1))
-    pos = gl % seg
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+    pos = (pid * CH + local) % seg
     acc = (x[:], y[:], z[:], t[:])
     idc = (idx[:], idy[:], idy[:], idx[:])
     s = 1
     while s < CH:
         shifted = tuple(_roll_lanes(a, s) for a in acc)
-        mask = pos >= s
+        # block-LOCAL segmented prefix: `local >= s` stops the circular roll
+        # wrapping the block tail into the head (matters when seg > CH and
+        # this is not the segment's first block — pass 2 adds those
+        # carry-ins); `pos >= s` stops crossings of in-block segment starts
+        # when seg < CH.
+        mask = (pos >= s) & (local >= s)
         addend = tuple(jnp.where(mask, a, i) for a, i in zip(shifted, idc))
         acc = _padd_body(bias[:], d2[:], *acc, *addend)
         s *= 2
@@ -58,9 +63,10 @@ def _scan_block_kernel(seg: int, bias, d2, idx, idy,
 
 def _offset_kernel(bias, d2, offx, offy, offz, offt,
                    x, y, z, t, ox, oy, oz, ot):
-    # each grid step receives ITS block's [NL, 1] offset column via the
-    # BlockSpec index map — broadcast happens in-register inside _padd_body,
-    # so no [NL, m] pre-broadcast array ever touches HBM
+    # offsets arrive pre-broadcast to the full [NL, CH] block width (Mosaic
+    # requires lane-dim block sizes of 128k or the whole array, so a
+    # [NL, 1]-per-block index map does not lower; the XLA-level broadcast
+    # costs one extra HBM pass over the offsets, nb/CH of the main arrays)
     acc = _padd_body(bias[:], d2[:], x[:], y[:], z[:], t[:],
                      offx[:], offy[:], offz[:], offt[:])
     ox[:], oy[:], oz[:], ot[:] = acc
@@ -104,18 +110,19 @@ def scan_segmented(pts, seg: int):
     exclusive = tuple(jnp.where((blane > 0)[None, :], r, jnp.asarray(i))
                       for r, i in zip(rolled, idc))
 
-    # pass 3: add block offsets — block i reads its own [NL, 1] offset
-    # column straight from the [NL, nb] array via the index map
-    off_spec = pl.BlockSpec((NL, 1), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    # pass 3: add block offsets.  Each block's [NL, 1] offset column is
+    # broadcast to the full CH lane width before the call (lane-aligned
+    # blocks are the only shapes the Mosaic lowering accepts).
+    exclusive_b = tuple(
+        jnp.broadcast_to(x[:, :, None], (NL, nb, CH)).reshape(NL, m)
+        for x in exclusive)
     out = pl.pallas_call(
         _offset_kernel,
         grid=grid,
-        in_specs=[cspec] * 2
-        + [off_spec] * 4 + [spec] * 4,
+        in_specs=[cspec] * 2 + [spec] * 8,
         out_specs=[spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((NL, m), jnp.int32)] * 4,
         interpret=_use_interpret(),
     )(jnp.asarray(_SUB_BIAS_COL), jnp.asarray(_D2_COL),
-      *exclusive, *prefix)
+      *exclusive_b, *prefix)
     return tuple(out)
