@@ -34,10 +34,6 @@ _ID_Y = np.zeros((NL, 1), dtype=np.int32)
 _ID_Y[0, 0] = 1
 
 
-def _ident_like(n):
-    return (jnp.asarray(np.tile(_ID_X, (1, 1))),) * 0  # unused
-
-
 def _select(mask_lanes, a, b_cols):
     """where(mask) ? a : b — mask [m] over lanes; b_cols given per
     coordinate as [NL, 1] numpy (broadcast)."""

@@ -139,14 +139,20 @@ def _use_interpret() -> bool:
 
 @jax.jit
 def padd_cols(p, q):
-    """p, q: pytrees of [NL, n] int32 (n a multiple of BLOCK).
-    Returns padd(p, q) in the same layout, fused in one Pallas pass."""
+    """p, q: pytrees of [NL, n] int32, any n >= 1.
+    Returns padd(p, q) in the same layout, fused in one Pallas pass.
+    n not a multiple of BLOCK is padded up (pad lanes compute garbage on
+    zero limbs, harmless) and sliced back off."""
     n = p[0].shape[1]
     # whole-array blocks are always Mosaic-legal; tiles narrower than the
     # array must be lane-aligned.  n < BLOCK with grid (n // BLOCK,) == (0,)
     # would run ZERO kernel instances and return garbage on hardware.
     blk = n if n < BLOCK else BLOCK
-    assert n % blk == 0, (n, blk)
+    if n % blk:
+        np_ = -(-n // blk) * blk
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, np_ - n)))
+        out = padd_cols(tuple(pad(x) for x in p), tuple(pad(x) for x in q))
+        return tuple(x[:, :n] for x in out)
     grid = (n // blk,)
     spec = pl.BlockSpec((NL, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)

@@ -66,7 +66,8 @@ def _offset_kernel(bias, d2, offx, offy, offz, offt,
     # offsets arrive pre-broadcast to the full [NL, CH] block width (Mosaic
     # requires lane-dim block sizes of 128k or the whole array, so a
     # [NL, 1]-per-block index map does not lower; the XLA-level broadcast
-    # costs one extra HBM pass over the offsets, nb/CH of the main arrays)
+    # materializes four full [NL, m] offset arrays — one extra full-size
+    # write+read per coordinate on top of the 3 main passes)
     acc = _padd_body(bias[:], d2[:], x[:], y[:], z[:], t[:],
                      offx[:], offy[:], offz[:], offt[:])
     ox[:], oy[:], oz[:], ot[:] = acc
