@@ -206,6 +206,36 @@ class RistrettoPoint:
         return RistrettoPoint._elligator(r1) + RistrettoPoint._elligator(r2)
 
 
+def batch_normalize(points):
+    """Scale a list of points to Z=1 (affine) with ONE field inversion
+    (Montgomery's trick).  Identity-Z points (Z=0 cannot occur on this
+    curve's extended coordinates) and already-affine points pass through.
+
+    The serial-bucket MSM (ops/msm_serial.py) requires affine sources: the
+    gather then moves 3 coordinates instead of 4 and the kernel runs a
+    mixed addition (Z2=1), saving a field mul per point-add.
+    """
+    if not points:
+        return []
+    idxs = [i for i, pt in enumerate(points) if pt.Z != 1]
+    if not idxs:
+        return list(points)
+    zs = [points[i].Z for i in idxs]
+    prefix = [zs[0]]
+    for z in zs[1:]:
+        prefix.append(prefix[-1] * z % P)
+    inv = pow(prefix[-1], P - 2, P)
+    out = list(points)
+    for j in range(len(zs) - 1, -1, -1):
+        zi = inv * (prefix[j - 1] if j else 1) % P
+        inv = inv * zs[j] % P
+        pt = points[idxs[j]]
+        x = pt.X * zi % P
+        y = pt.Y * zi % P
+        out[idxs[j]] = RistrettoPoint(x, y, 1, x * y % P)
+    return out
+
+
 # The Ed25519 basepoint (y = 4/5, x even) is the Ristretto255 generator.
 _BASE_Y = 4 * pow(5, P - 2, P) % P
 _BASE_X = 15112221349535400772501151409588531511454012693041857206046113283949847762202

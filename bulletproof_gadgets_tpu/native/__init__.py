@@ -35,6 +35,16 @@ def load():
             return None
     try:
         lib = ctypes.CDLL(path)
+        if not hasattr(lib, "bpg_msm_schedule_counts"):
+            # stale build from before the MSM scheduler was added; unlink
+            # first so dlopen (which dedupes by inode) maps the fresh build
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            if not _build():
+                return None
+            lib = ctypes.CDLL(path)
         lib.bpg_transcript_size.restype = ctypes.c_int
         lib.bpg_transcript_init.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
@@ -44,6 +54,13 @@ def load():
         lib.bpg_transcript_challenge.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t]
+        lib.bpg_msm_schedule_counts.restype = ctypes.c_int64
+        lib.bpg_msm_schedule_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        lib.bpg_msm_schedule_fill.restype = None
+        lib.bpg_msm_schedule_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
     except OSError:
         _LIB = None

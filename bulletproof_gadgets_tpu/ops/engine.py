@@ -12,7 +12,7 @@ import jax
 from ..core import msm as core_msm
 from ..core.scalar import L
 from ..core.ristretto import RistrettoPoint
-from . import msm as dev_msm, msm_cols, curve
+from . import msm as dev_msm, msm_cols, msm_serial, curve
 
 _CACHE_DIR = os.environ.get(
     "BPG_TPU_XLA_CACHE",
@@ -35,15 +35,25 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _impl() -> str:
+    """MSM implementation: 'serial' (serial-bucket Pallas kernel, default),
+    'scan' (sorted-scan cols path), 'rows' (unfused jnp oracle)."""
+    return os.environ.get("BPG_TPU_MSM_IMPL", "serial")
+
+
 def msm_backend(ks, points) -> RistrettoPoint:
-    """core.msm backend: pads to the next power of two (zero scalars
-    contribute nothing), so jit compiles one graph per size bucket."""
+    """core.msm backend.  The serial-bucket path needs no padding (zero
+    digits simply produce no schedule entries); the scan paths pad to the
+    next power of two so jit compiles one graph per size bucket."""
+    impl = _impl()
+    if impl == "serial":
+        return msm_serial.msm(ks, points)
     n = len(ks)
     target = _next_pow2(n)
     if target > n:
         ks = list(ks) + [0] * (target - n)
         points = list(points) + [points[0]] * (target - n)
-    if os.environ.get("BPG_TPU_MSM_IMPL") == "rows":
+    if impl == "rows":
         return dev_msm.msm(ks, points)
     return msm_cols.msm(ks, points)
 
@@ -52,15 +62,23 @@ _table_cache = {}
 _TABLE_CACHE_MAX = 3
 
 
+def _table_key(G, H, B, B_blinding):
+    """Content-derived cache key: endpoint coordinates pin the generator
+    vectors (they are deterministic SHAKE256 chains, so (len, first, last)
+    identifies the slice) — no reliance on object identity (VERDICT r1 #9)."""
+    return (len(G),
+            G[0].X if G else 0, G[-1].X if G else 0,
+            H[0].X if H else 0, H[-1].X if H else 0,
+            B.X, B.Y, B_blinding.X, B_blinding.Y)
+
+
 def _table_factory(G, H, B, B_blinding):
-    """GeneratorTable cache: bp gens are deterministic and process-wide
-    (core.gens grows one monotone list), so (size, endpoint object ids,
-    pedersen coords) pins the table identity without hashing the points."""
-    key = (len(G), id(G[0]) if G else 0, id(G[-1]) if G else 0,
-           B.X, B.Y, B_blinding.X, B_blinding.Y)
+    key = _table_key(G, H, B, B_blinding)
     t = _table_cache.get(key)
     if t is None:
-        t = msm_cols.GeneratorTable(G, H, B, B_blinding)
+        cls = (msm_serial.GeneratorTable if _impl() == "serial"
+               else msm_cols.GeneratorTable)
+        t = cls(G, H, B, B_blinding)
         if len(_table_cache) >= _TABLE_CACHE_MAX:
             _table_cache.pop(next(iter(_table_cache)))
         _table_cache[key] = t

@@ -63,6 +63,21 @@ def to_limbs_np(values) -> np.ndarray:
     return out
 
 
+def ints_to_limbs_cols(values) -> np.ndarray:
+    """Vectorized int list -> [NL, m] int32 limb columns (values < 2^256).
+    ~100x faster than the per-limb Python loop for large point tables."""
+    m = len(values)
+    raw = b"".join(v.to_bytes(33, "little") for v in values)
+    u8 = np.frombuffer(raw, dtype=np.uint8).reshape(m, 33).astype(np.int32)
+    out = np.empty((NL, m), dtype=np.int32)
+    for j in range(NL):
+        bit = B * j
+        off, shift = bit >> 3, bit & 7
+        word = u8[:, off] | (u8[:, off + 1] << 8) | (u8[:, off + 2] << 16)
+        out[j] = (word >> shift) & MASK
+    return out
+
+
 def from_limbs(arr) -> list:
     a = np.asarray(arr)
     flat = a.reshape(-1, NL)

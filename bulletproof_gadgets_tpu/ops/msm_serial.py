@@ -1,0 +1,327 @@
+"""Serial-bucket Pippenger MSM — the fast path.
+
+Classic Pippenger does ONE group addition per nonzero (window, point) digit
+entry: add the point into its window's bucket, then weight-sum the buckets.
+The scan-based path (ops/msm_cols.py) paid O(n log n) additions instead; this
+module restores the optimal O(n) by making buckets TPU *lanes* and streaming
+the points through them round-by-round:
+
+  host   digit recode (ops/msm.signed_digits) -> balanced schedule
+         idx[T, P] built by two linear C passes (native/sched_native.c):
+         a bucket with occupancy c is split over ceil(c/T) consecutive
+         pool lanes (occupancies are wildly non-uniform: scalars mod l
+         have a short top window, and range-proof circuits commit bit
+         vectors whose digits all hit bucket 1 — splitting keeps every
+         round fully occupied);
+  device gather the schedule from an affine source table [P | -P | id]
+         (T pre-scaled by 2d) -> Pallas kernel, grid (T,): one fused
+         mixed-add per round into P bucket accumulators resident in VMEM
+         -> segmented-scan merge of split buckets -> weighted
+         bucket->window reduction (masked scans) -> in-kernel Horner
+         across the 32 windows -> [k] extended points.
+
+Work: ~(1+3/sqrt(mean)) * 32n mixed-adds per MSM vs the scan path's
+~32n*log2(n); the whole device pipeline is ONE jit call per launch.
+
+Role in the reference stack: dalek's Pippenger + AVX2 backend, invoked from
+prover.prove / verifier.verify (/root/reference/src/prove.rs:79,
+src/verify.rs:71; SURVEY.md §2.B).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fp
+from .msm import signed_digits
+from .msm_cols import _masked_scan, _IDENT_COLS
+from .pallas_curve import (_madd_body, _padd_body, padd_cols, _SUB_BIAS_COL,
+                           _D2_COL, _use_interpret)
+from ..core.scalar import L
+from ..core.ristretto import (RistrettoPoint, batch_normalize, P as _P,
+                              D as _D)
+from .. import native
+
+NL = fp.NL
+C = 8                     # window width (fixed: digit recode is byte-wise)
+NB = 1 << (C - 1)         # 128 buckets per window
+W = 32 * 8 // C           # 32 windows per 256-bit scalar
+_2D = 2 * _D % _P
+
+_ROUND_PAD = 32           # rounds padded to a multiple (bounds jit shapes)
+_LANE_PAD = 512           # pool lanes padded to a multiple
+
+
+class Schedule:
+    __slots__ = ("idx", "segid", "last_pos", "merge_steps", "k")
+
+    def __init__(self, idx, segid, last_pos, merge_steps, k):
+        self.idx = idx
+        self.segid = segid
+        self.last_pos = last_pos
+        self.merge_steps = merge_steps
+        self.k = k
+
+
+def _plan(counts: np.ndarray, total: int):
+    """Round budget T and per-bucket pool offsets from occupancy counts.
+    T ~ mean + 3*sqrt(mean) so uniform digit streams rarely split."""
+    m = counts.shape[0]
+    mean = max(1.0, total / m)
+    t = int(np.ceil(mean + 3.0 * np.sqrt(mean)))
+    t = -(-t // _ROUND_PAD) * _ROUND_PAD
+    while True:
+        sub = -(-counts // t)                  # ceil(c/T), 0 for empty
+        pool = int(sub.sum())
+        p_pad = -(-(pool + 1) // _LANE_PAD) * _LANE_PAD
+        if p_pad <= 49152 or t >= total:       # VMEM pool-width cap
+            break
+        t *= 2
+    offs = np.concatenate([[0], np.cumsum(sub)[:-1]]).astype(np.int32)
+    return t, sub, offs, pool, p_pad
+
+
+def _schedule_arrays(sub, offs, pool, p_pad, m):
+    """segid [p_pad] (pad lanes get unique ids), last_pos [m] (empty buckets
+    -> the identity pad lane at `pool`), merge_steps."""
+    segid = np.full(p_pad, 0, dtype=np.int32)
+    segid[:pool] = np.repeat(np.arange(m, dtype=np.int32), sub)
+    segid[pool:] = m + np.arange(p_pad - pool, dtype=np.int32)
+    last = (offs + np.maximum(sub, 1) - 1).astype(np.int32)
+    last_pos = np.where(sub > 0, last, pool).astype(np.int32)
+    max_sub = int(sub.max()) if m else 1
+    merge_steps = max(0, int(max_sub - 1).bit_length())
+    return segid, last_pos, merge_steps
+
+
+def _schedule_numpy(digits: np.ndarray, n: int) -> "Schedule":
+    """Fallback scheduler (the C path is ~40x faster at 4M entries)."""
+    wt = digits.shape[1]
+    m = wt * NB
+    a = np.abs(digits)
+    lanes = np.arange(wt, dtype=np.int64)[None, :] * NB + a - 1
+    valid = a > 0
+    src = np.where(digits < 0,
+                   np.arange(n, dtype=np.int64)[:, None] + n,
+                   np.arange(n, dtype=np.int64)[:, None])
+    lf = lanes.T.ravel()[valid.T.ravel()]
+    sf = src.T.ravel()[valid.T.ravel()]
+    counts = np.bincount(lf, minlength=m).astype(np.int64)
+    t, sub, offs, pool, p_pad = _plan(counts, int(lf.size))
+    order = np.argsort(lf, kind="stable")
+    ls = lf[order]
+    coffs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=coffs[1:])
+    rank = np.arange(lf.size, dtype=np.int64) - coffs[ls]
+    idx = np.full((t, p_pad), 2 * n, dtype=np.int32)
+    idx[rank % t, offs[ls] + rank // t] = sf[order].astype(np.int32)
+    segid, last_pos, steps = _schedule_arrays(sub, offs, pool, p_pad, m)
+    return Schedule(idx, segid, last_pos, steps, wt // W)
+
+
+def build_schedule(digits: np.ndarray, n: int) -> "Schedule":
+    """digits [n, wt] int32 (signed, c=8) -> balanced (round, lane)
+    schedule.  Identity slot = 2n (source layout [P | -P | id])."""
+    wt = digits.shape[1]
+    m = wt * NB
+    lib = native.load()
+    if lib is None:
+        return _schedule_numpy(digits, n)
+    dig = np.ascontiguousarray(digits, dtype=np.int32)
+    counts = np.empty(m, dtype=np.int32)
+    total = lib.bpg_msm_schedule_counts(
+        dig.ctypes.data, dig.shape[0], wt, counts.ctypes.data)
+    t, sub, offs, pool, p_pad = _plan(counts.astype(np.int64), int(total))
+    idx = np.full((t, p_pad), 2 * n, dtype=np.int32)
+    scratch = np.empty(m, dtype=np.int32)
+    lib.bpg_msm_schedule_fill(dig.ctypes.data, dig.shape[0], wt, t, p_pad,
+                              offs.ctypes.data, scratch.ctypes.data,
+                              idx.ctypes.data)
+    segid, last_pos, steps = _schedule_arrays(sub, offs, pool, p_pad, m)
+    return Schedule(idx, segid, last_pos, steps, wt // W)
+
+
+# ---------------------------------------------------------------------------
+# affine source tables (device)
+
+def prep_source(points):
+    """list[RistrettoPoint] -> (source pytree (x, y, t2d) of [NL, 2n+1]
+    device arrays, n).  Lane layout: [P_0..P_{n-1} | -P_0..-P_{n-1} | id];
+    t2d = x*y*2d mod p (pre-scaled so the kernel saves the 2d mul)."""
+    n = len(points)
+    aff = batch_normalize(points)
+    xs = [pt.X for pt in aff]
+    ys = [pt.Y for pt in aff]
+    t2ds = [pt.T * _2D % _P for pt in aff]
+    x_cols = fp.ints_to_limbs_cols(
+        xs + [(_P - x) % _P for x in xs] + [0])
+    y_cols = fp.ints_to_limbs_cols(ys + ys + [1])
+    t_cols = fp.ints_to_limbs_cols(
+        t2ds + [(_P - t) % _P for t in t2ds] + [0])
+    return (jnp.asarray(x_cols), jnp.asarray(y_cols),
+            jnp.asarray(t_cols)), n
+
+
+# ---------------------------------------------------------------------------
+# device pipeline
+
+def _bucket_kernel(bias, gx, gy, gt, ox, oy, oz, ot):
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
+        one = (row == 0).astype(jnp.int32)
+        ox[:] = jnp.zeros_like(ox)
+        oy[:] = one
+        oz[:] = one
+        ot[:] = jnp.zeros_like(ot)
+
+    x, y, z, t = _madd_body(bias[:], ox[:], oy[:], oz[:], ot[:],
+                            gx[:], gy[:], gt[:])
+    ox[:], oy[:], oz[:], ot[:] = x, y, z, t
+
+
+def _horner_kernel(bias, d2, wx, wy, wz, wt, ox, oy, oz, ot):
+    """Grid (W,) high-to-low window; out = sum_w 2^(C*w) * ws[w]."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ox[:], oy[:], oz[:], ot[:] = wx[0], wy[0], wz[0], wt[0]
+
+    @pl.when(i > 0)
+    def _():
+        acc = (ox[:], oy[:], oz[:], ot[:])
+        for _ in range(C):
+            acc = _padd_body(bias[:], d2[:], *acc, *acc)
+        acc = _padd_body(bias[:], d2[:], *acc, wx[0], wy[0], wz[0], wt[0])
+        ox[:], oy[:], oz[:], ot[:] = acc
+
+
+def _seg_scan(x, segid, steps: int):
+    """Inclusive prefix scan (group law) within contiguous runs of equal
+    segid along lanes; sub-lanes of a split bucket merge into the run's
+    last lane."""
+    if steps == 0:
+        return x
+    p = x[0].shape[1]
+    lane = jnp.arange(p, dtype=jnp.int32)
+
+    def body(s, acc):
+        shift = jnp.int32(1) << s
+        same = (segid == jnp.roll(segid, shift)) & (lane >= shift)
+        shifted = tuple(jnp.roll(leaf, shift, axis=1) for leaf in acc)
+        addend = tuple(jnp.where(same[None, :], a, jnp.asarray(i))
+                       for a, i in zip(shifted, _IDENT_COLS))
+        return padd_cols(acc, addend)
+
+    return jax.lax.fori_loop(0, steps, body, x)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _msm_serial_device(idx, segid, last_pos, src, k: int, merge_steps: int):
+    """idx [T, P]; segid [P]; last_pos [M=k*W*NB]; src (x, y, t2d) [NL, S].
+    Returns 4-tuple of [NL, k]: one extended point per vector."""
+    t_rounds, p = idx.shape
+    m = last_pos.shape[0]
+    flat = idx.reshape(-1)
+    g = tuple(jnp.take(s, flat, axis=1) for s in src)   # [NL, T*P]
+
+    bias = jnp.asarray(_SUB_BIAS_COL)
+    d2 = jnp.asarray(_D2_COL)
+    spec = pl.BlockSpec((NL, p), lambda r: (0, r), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((NL, p), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((NL, 1), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    pool = pl.pallas_call(
+        _bucket_kernel,
+        grid=(t_rounds,),
+        in_specs=[cspec] + [spec] * 3,
+        out_specs=[ospec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
+        interpret=_use_interpret(),
+    )(bias, *g)
+
+    # merge split buckets, then gather canonical [NL, M] bucket sums
+    merged = _seg_scan(tuple(pool), segid, merge_steps)
+    buckets = tuple(x[:, last_pos] for x in merged)
+
+    # weighted window sums: sum_b b*S_b per window via double suffix scan
+    rev = tuple(x.reshape(NL, m // NB, NB)[:, :, ::-1].reshape(NL, m)
+                for x in buckets)
+    suffix = _masked_scan(rev, NB, 7)
+    total = _masked_scan(suffix, NB, 7)
+    lastpos_w = (jnp.arange(m // NB, dtype=jnp.int32) * NB + (NB - 1))
+    ws = tuple(x[:, lastpos_w] for x in total)          # [NL, k*W]
+
+    # Horner across windows, per vector, in one kernel launch.
+    # lane order is [vector-major, window-minor]; kernel wants [W, NL, k]
+    # with the high window first (index map below reverses).
+    ws3 = tuple(x.reshape(NL, k, W).transpose(2, 0, 1) for x in ws)
+    wspec = pl.BlockSpec((1, NL, k), lambda i: (W - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pospec = pl.BlockSpec((NL, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _horner_kernel,
+        grid=(W,),
+        in_specs=[cspec, cspec] + [wspec] * 4,
+        out_specs=[pospec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((NL, k), jnp.int32)] * 4,
+        interpret=_use_interpret(),
+    )(bias, d2, *ws3)
+    return tuple(out)
+
+
+def _points_from_cols(cols, k: int):
+    xs = fp.from_limbs(np.asarray(cols[0]).T)
+    ys = fp.from_limbs(np.asarray(cols[1]).T)
+    zs = fp.from_limbs(np.asarray(cols[2]).T)
+    ts = fp.from_limbs(np.asarray(cols[3]).T)
+    return [RistrettoPoint(xs[i], ys[i], zs[i], ts[i]) for i in range(k)]
+
+
+def msm_many(vectors, src, n: int):
+    """vectors: list of length-n int lists (any residue class mod L);
+    src: prepped source from prep_source.  One device launch."""
+    k = len(vectors)
+    digit_blocks = [signed_digits([v % L for v in vec], C)
+                    for vec in vectors]
+    digits = np.concatenate(digit_blocks, axis=1)       # [n, k*W]
+    sched = build_schedule(digits, n)
+    cols = _msm_serial_device(jnp.asarray(sched.idx),
+                              jnp.asarray(sched.segid),
+                              jnp.asarray(sched.last_pos),
+                              src, k, sched.merge_steps)
+    return _points_from_cols(cols, k)
+
+
+def msm(scalars, points) -> RistrettoPoint:
+    """Host entry for arbitrary point sets (dynamic part of the verifier
+    mega-MSM etc.): preps an affine source per call."""
+    src, n = prep_source(points)
+    return msm_many([[int(s) for s in scalars]], src, n)[0]
+
+
+class GeneratorTable:
+    """Device-resident prover/verifier MSM table over
+    [G_0..G_{N-1} | H_0..H_{N-1} | B | B_blinding] (SURVEY.md §2.B
+    "device-resident G/H arrays").  The affine source (with negations and
+    identity slot) uploads once per proof size; every MSM against it is a
+    scalar vector -> one schedule + one jit launch, several vectors batched
+    into the same launch by stacking their digit windows."""
+
+    __slots__ = ("N", "m", "src")
+
+    def __init__(self, G, H, B, B_blinding):
+        self.N = len(G)
+        assert len(H) == self.N
+        self.m = 2 * self.N + 2
+        self.src, _ = prep_source(list(G) + list(H) + [B, B_blinding])
+
+    def msm_many(self, vectors):
+        for v in vectors:
+            assert len(v) == self.m, (len(v), self.m)
+        return msm_many(vectors, self.src, self.m)

@@ -126,6 +126,22 @@ def _padd_body(bias, d2, x1, y1, z1, t1, x2, y2, z2, t2):
     return (_mul(e, f), _mul(g, h), _mul(f, g), _mul(e, h))
 
 
+def _madd_body(bias, x1, y1, z1, t1, x2, y2, t2d2):
+    """Mixed addition: operand 2 is affine (Z2=1) with T pre-scaled by 2d
+    (t2d2 = x2*y2*2d mod p).  7 full muls vs the unified padd's 9 — this is
+    the serial-bucket MSM's inner loop (ops/msm_serial.py), the TPU
+    equivalent of dalek's AVX2 bucket accumulation."""
+    a = _mul(_lazy(y1 + bias - x1), _lazy(y2 + bias - x2))
+    b = _mul(_lazy(y1 + x1), _lazy(y2 + x2))
+    c = _mul(t1, t2d2)
+    d = _lazy(z1 + z1)
+    e = _lazy(b + bias - a)
+    f = _lazy(d + bias - c)
+    g = _lazy(d + c)
+    h = _lazy(b + a)
+    return (_mul(e, f), _mul(g, h), _mul(f, g), _mul(e, h))
+
+
 def _padd_kernel(bias, d2, x1, y1, z1, t1, x2, y2, z2, t2,
                  ox, oy, oz, ot):
     r = _padd_body(bias[:], d2[:], x1[:], y1[:], z1[:], t1[:],
