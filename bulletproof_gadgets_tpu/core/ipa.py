@@ -61,6 +61,21 @@ class InnerProductProof:
 
         innerproduct_domain_sep(transcript, n_full)
 
+        if table is not None and hasattr(table, "src") and n_full > 1:
+            # Device-resident rounds (serial-bucket table): coefficient
+            # vectors live on the TPU, host sees only digits + L/R points.
+            # a/b may arrive as device [n, NW] limb arrays (from
+            # ops/prover_device.lr) or as host Scalar lists.
+            from .scalar import L as _mod
+            from ..ops import ipa_device
+            a_in = [s.v for s in a] if isinstance(a, list) else a
+            b_in = [s.v for s in b] if isinstance(b, list) else b
+            L_vec, R_vec, a0, b0 = ipa_device.create(
+                transcript, table, w.v % _mod,
+                [s.v for s in G_factors], [s.v for s in H_factors],
+                a_in, b_in, append_point, challenge_scalar)
+            return InnerProductProof(L_vec, R_vec, Scalar(a0), Scalar(b0))
+
         # Hot path: raw-int modular arithmetic (Scalar wrappers only at the
         # transcript boundary).  gc/hc = coefficient of original G_t / H_t
         # inside the current virtual generators.
@@ -125,8 +140,10 @@ class InnerProductProof:
 
         return InnerProductProof(L_vec, R_vec, Scalar(a[0]), Scalar(b[0]))
 
-    def verification_scalars(self, n: int, transcript):
-        """(u_sq, u_inv_sq, s) for the verifier's single mega-MSM."""
+    def verification_challenges(self, n: int, transcript):
+        """(u_sq, u_inv_sq, allinv): the transcript-side part of dalek's
+        verification_scalars — the O(n) s-vector is built separately (on
+        device by ops/verifier_device, or by verification_scalars here)."""
         lg_n = len(self.L_vec)
         if lg_n >= 32:
             raise ProofError("inner product proof too large")
@@ -144,6 +161,13 @@ class InnerProductProof:
         allinv, challenges_inv = batch_invert(challenges)
         challenges_sq = [u * u for u in challenges]
         challenges_inv_sq = [u * u for u in challenges_inv]
+        return challenges_sq, challenges_inv_sq, allinv
+
+    def verification_scalars(self, n: int, transcript):
+        """(u_sq, u_inv_sq, s) for the verifier's single mega-MSM."""
+        challenges_sq, challenges_inv_sq, allinv = \
+            self.verification_challenges(n, transcript)
+        lg_n = len(self.L_vec)
 
         s = [allinv]
         for i in range(1, n):

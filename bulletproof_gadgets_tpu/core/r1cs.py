@@ -18,7 +18,7 @@ implementation is 1-phase: A_I2/A_O2/S2 are identity and the proof
 serializes with the one-phase version byte.
 """
 
-from .scalar import Scalar, exp_iter
+from .scalar import Scalar, exp_iter, L as L_MOD
 from .ristretto import RistrettoPoint, IDENTITY_COMPRESSED
 from .lc import (Variable, LinearCombination, to_lc, ONE, COMMITTED,
                  MULT_LEFT, MULT_RIGHT, MULT_OUT)
@@ -164,26 +164,31 @@ class Prover:
 
     # -- flattening --------------------------------------------------------
     def _flattened_constraints(self, z: Scalar):
+        """Returns (wL, wR, wO, wV) as raw ints (not Scalars): this loop
+        touches every constraint term, so it runs on deferred-mod Python
+        ints (one mul + one add per term; reduced on exit)."""
         n = len(self.a_L)
         m = len(self.v)
-        wL = [Scalar.zero() for _ in range(n)]
-        wR = [Scalar.zero() for _ in range(n)]
-        wO = [Scalar.zero() for _ in range(n)]
-        wV = [Scalar.zero() for _ in range(m)]
-        exp_z = z
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * m
+        exp_z = z.v % L_MOD
         for lc in self.constraints:
             for var, coeff in lc.terms:
+                c = exp_z * coeff.v
                 if var.kind == MULT_LEFT:
-                    wL[var.index] = wL[var.index] + exp_z * coeff
+                    wL[var.index] += c
                 elif var.kind == MULT_RIGHT:
-                    wR[var.index] = wR[var.index] + exp_z * coeff
+                    wR[var.index] += c
                 elif var.kind == MULT_OUT:
-                    wO[var.index] = wO[var.index] + exp_z * coeff
+                    wO[var.index] += c
                 elif var.kind == COMMITTED:
-                    wV[var.index] = wV[var.index] - exp_z * coeff
+                    wV[var.index] -= c
                 # One(): not needed on the prover side
-            exp_z = exp_z * z
-        return wL, wR, wO, wV
+            exp_z = exp_z * z.v % L_MOD
+        return ([x % L_MOD for x in wL], [x % L_MOD for x in wR],
+                [x % L_MOD for x in wO], [x % L_MOD for x in wV])
 
     # -- proving -----------------------------------------------------------
     def prove(self, bp_gens) -> R1CSProof:
@@ -252,26 +257,43 @@ class Prover:
         z = challenge_scalar(t, b"z")
 
         wL, wR, wO, wV = self._flattened_constraints(z)
-
-        exp_y_vec = exp_iter(y, max(n, 1))
         y_inv = y.invert()
-        exp_y_inv = exp_iter(y_inv, padded_n)
 
-        l1 = [self.a_L[i] + exp_y_inv[i] * wR[i] for i in range(n)]
-        l2 = list(self.a_O)
-        l3 = list(s_L1)
-        r0 = [wO[i] - exp_y_vec[i] for i in range(n)]
-        r1 = [exp_y_vec[i] * self.a_R[i] + wL[i] for i in range(n)]
-        r3 = [exp_y_vec[i] * s_R1[i] for i in range(n)]
+        device_vectors = hasattr(table, "src")
+        if device_vectors:
+            # O(n) polynomial math on the TPU (ops/prover_device); this is
+            # dalek's l/r/t construction inside prover.prove
+            # (/root/reference/src/prove.rs:79)
+            from ..ops.prover_device import ProverVectors
+            pv = ProverVectors(
+                [s.v for s in self.a_L], [s.v for s in self.a_R],
+                [s.v for s in self.a_O],
+                [s.v for s in s_L1], [s.v for s in s_R1],
+                wL, wR, wO, y.v % L_MOD, y_inv.v % L_MOD, padded_n)
+            t1, t2, t3, t4, t5, t6 = (Scalar(v) for v in pv.t_poly())
+            t_poly = _Poly6(t1, t2, t3, t4, t5, t6)
+        else:
+            exp_y_vec = exp_iter(y, max(n, 1))
+            exp_y_inv = exp_iter(y_inv, padded_n)
+            wLs = [Scalar(v) for v in wL]
+            wRs = [Scalar(v) for v in wR]
+            wOs = [Scalar(v) for v in wO]
 
-        t_poly = _Poly6(
-            _inner(l1, r0),
-            _inner(l1, r1) + _inner(l2, r0),
-            _inner(l2, r1) + _inner(l3, r0),
-            _inner(l1, r3) + _inner(l3, r1),
-            _inner(l2, r3),
-            _inner(l3, r3),
-        )
+            l1 = [self.a_L[i] + exp_y_inv[i] * wRs[i] for i in range(n)]
+            l2 = list(self.a_O)
+            l3 = list(s_L1)
+            r0 = [wOs[i] - exp_y_vec[i] for i in range(n)]
+            r1 = [exp_y_vec[i] * self.a_R[i] + wLs[i] for i in range(n)]
+            r3 = [exp_y_vec[i] * s_R1[i] for i in range(n)]
+
+            t_poly = _Poly6(
+                _inner(l1, r0),
+                _inner(l1, r1) + _inner(l2, r0),
+                _inner(l2, r1) + _inner(l3, r0),
+                _inner(l1, r3) + _inner(l3, r1),
+                _inner(l2, r3),
+                _inner(l3, r3),
+            )
 
         t_1_blinding = rng.random_scalar()
         t_3_blinding = rng.random_scalar()
@@ -294,7 +316,7 @@ class Prover:
         u = challenge_scalar(t, b"u")
         x = challenge_scalar(t, b"x")
 
-        t_2_blinding = _inner(wV, self.v_blinding)
+        t_2_blinding = _inner([Scalar(v) for v in wV], self.v_blinding)
         t_blinding_poly = _Poly6(t_1_blinding, t_2_blinding, t_3_blinding,
                                  t_4_blinding, t_5_blinding, t_6_blinding)
 
@@ -303,12 +325,15 @@ class Prover:
 
         xx = x * x
         xxx = xx * x
-        l_vec = [l1[i] * x + l2[i] * xx + l3[i] * xxx for i in range(n)]
-        l_vec += [Scalar.zero()] * pad
-        r_vec = [r0[i] + r1[i] * x + r3[i] * xxx for i in range(n)]
-        exp_y_pad = exp_iter(y, padded_n + 1)
-        for i in range(n, padded_n):
-            r_vec.append(-exp_y_pad[i])
+        if device_vectors:
+            l_vec, r_vec = pv.lr(x.v % L_MOD)   # device [padded_n, NW]
+        else:
+            l_vec = [l1[i] * x + l2[i] * xx + l3[i] * xxx for i in range(n)]
+            l_vec += [Scalar.zero()] * pad
+            r_vec = [r0[i] + r1[i] * x + r3[i] * xxx for i in range(n)]
+            exp_y_pad = exp_iter(y, padded_n + 1)
+            for i in range(n, padded_n):
+                r_vec.append(-exp_y_pad[i])
 
         i_blinding = i_blinding1 + u * i_blinding2
         o_blinding = o_blinding1 + u * o_blinding2
@@ -323,7 +348,14 @@ class Prover:
         Q = self.pc_gens.B.scalar_mul(w.v)
 
         G_factors = ([Scalar.one()] * n1 + [u] * (n2 + pad))
-        H_factors = [exp_y_inv[i] * G_factors[i] for i in range(padded_n)]
+        if device_vectors:
+            from ..ops.prover_device import int_powers
+            yi_pow = int_powers(y_inv.v % L_MOD, padded_n)
+            H_factors = [Scalar(yi_pow[i] * G_factors[i].v % L_MOD)
+                         for i in range(padded_n)]
+        else:
+            H_factors = [exp_y_inv[i] * G_factors[i]
+                         for i in range(padded_n)]
 
         assert padded_n == padded_n1
         ipp = InnerProductProof.create(
@@ -385,28 +417,32 @@ class Verifier:
         self.constraints.append(to_lc(lc))
 
     def _flattened_constraints(self, z: Scalar):
+        """(wL, wR, wO, wV, wc) as raw ints (deferred-mod; see Prover)."""
         n = self.num_vars
         m = len(self.V)
-        wL = [Scalar.zero() for _ in range(n)]
-        wR = [Scalar.zero() for _ in range(n)]
-        wO = [Scalar.zero() for _ in range(n)]
-        wV = [Scalar.zero() for _ in range(m)]
-        wc = Scalar.zero()
-        exp_z = z
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * m
+        wc = 0
+        exp_z = z.v % L_MOD
         for lc in self.constraints:
             for var, coeff in lc.terms:
+                c = exp_z * coeff.v
                 if var.kind == MULT_LEFT:
-                    wL[var.index] = wL[var.index] + exp_z * coeff
+                    wL[var.index] += c
                 elif var.kind == MULT_RIGHT:
-                    wR[var.index] = wR[var.index] + exp_z * coeff
+                    wR[var.index] += c
                 elif var.kind == MULT_OUT:
-                    wO[var.index] = wO[var.index] + exp_z * coeff
+                    wO[var.index] += c
                 elif var.kind == COMMITTED:
-                    wV[var.index] = wV[var.index] - exp_z * coeff
+                    wV[var.index] -= c
                 else:  # One()
-                    wc = wc - exp_z * coeff
-            exp_z = exp_z * z
-        return wL, wR, wO, wV, wc
+                    wc -= c
+            exp_z = exp_z * z.v % L_MOD
+        return ([x % L_MOD for x in wL], [x % L_MOD for x in wR],
+                [x % L_MOD for x in wO], [x % L_MOD for x in wV],
+                wc % L_MOD)
 
     def verify(self, proof: R1CSProof, pc_gens, bp_gens) -> None:
         """Raises R1CSError / ProofError on failure (mirrors Err paths)."""
@@ -449,29 +485,9 @@ class Verifier:
         w = challenge_scalar(t, b"w")
 
         wL, wR, wO, wV, wc = self._flattened_constraints(z)
-
-        u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(padded_n, t)
         a = proof.ipp_proof.a
         b = proof.ipp_proof.b
-
         y_inv = y.invert()
-        y_inv_vec = exp_iter(y_inv, padded_n)
-        yneg_wR = [wR[i] * y_inv_vec[i] for i in range(n)] + \
-                  [Scalar.zero()] * pad
-
-        delta = _inner(yneg_wR[:n], wL)
-
-        u_or_1 = [Scalar.one()] * n1 + [u] * (n2 + pad)
-
-        g_scalars = [u_or_1[i] * (x * yneg_wR[i] - a * s[i])
-                     for i in range(padded_n)]
-        s_rev = list(reversed(s))
-        wL_pad = wL + [Scalar.zero()] * pad
-        wO_pad = wO + [Scalar.zero()] * pad
-        h_scalars = [
-            u_or_1[i] * (y_inv_vec[i] * (x * wL_pad[i] + wO_pad[i]
-                                         - b * s_rev[i]) - Scalar.one())
-            for i in range(padded_n)]
 
         r = rng.random_scalar()
         xx = x * x
@@ -493,17 +509,61 @@ class Verifier:
         # no per-verify point upload, one cached kernel shape per size);
         # only the O(m + log n) proof-dependent points go through a small
         # dynamic MSM.
-        table_vec = ([s.v for s in g_scalars]
-                     + [s.v for s in h_scalars]
-                     + [(w * (proof.t_x - a * b)
-                         + r * (xx * (wc + delta) - proof.t_x)).v]
-                     + [(-proof.e_blinding - r * proof.t_x_blinding).v])
         table = generator_table(bp_gens.G(padded_n), bp_gens.H(padded_n),
                                 pc_gens.B, pc_gens.B_blinding)
-        (table_part,) = table.msm_many([table_vec])
+        if hasattr(table, "src"):
+            # O(n) scalar construction on device (ops/verifier_device);
+            # host computes only delta and the two B-slot coefficients
+            from ..ops import verifier_device
+            from ..ops.prover_device import int_powers
+            from ..ops.msm_serial import build_schedule_t, _launch
+            u_sq, u_inv_sq, allinv = \
+                proof.ipp_proof.verification_challenges(padded_n, t)
+            yi_pow = int_powers(y_inv.v % L_MOD, max(n, 1))
+            ynw = [wR[i] * yi_pow[i] % L_MOD for i in range(n)]
+            delta = sum(ynw[i] * wL[i] for i in range(n)) % L_MOD
+            c_B = (w.v * (proof.t_x.v - a.v * b.v)
+                   + r.v * (xx.v * (wc + delta) - proof.t_x.v)) % L_MOD
+            c_Bb = (-proof.e_blinding.v - r.v * proof.t_x_blinding.v) % L_MOD
+            dig = verifier_device.table_digits(
+                ynw, wL, wO, y_inv.v, x.v, a.v, b.v, u.v,
+                allinv.v, [v.v for v in u_sq], n, n1, padded_n, c_B, c_Bb)
+            (table_part,) = _launch(build_schedule_t(dig, table.m),
+                                    table.src)
+        else:
+            u_sq, u_inv_sq, s = \
+                proof.ipp_proof.verification_scalars(padded_n, t)
+            y_inv_vec = exp_iter(y_inv, padded_n)
+            wLs = [Scalar(v) for v in wL]
+            wRs = [Scalar(v) for v in wR]
+            wOs = [Scalar(v) for v in wO]
+            yneg_wR = [wRs[i] * y_inv_vec[i] for i in range(n)] + \
+                      [Scalar.zero()] * pad
+
+            delta_s = _inner(yneg_wR[:n], wLs)
+
+            u_or_1 = [Scalar.one()] * n1 + [u] * (n2 + pad)
+
+            g_scalars = [u_or_1[i] * (x * yneg_wR[i] - a * s[i])
+                         for i in range(padded_n)]
+            s_rev = list(reversed(s))
+            wL_pad = wLs + [Scalar.zero()] * pad
+            wO_pad = wOs + [Scalar.zero()] * pad
+            h_scalars = [
+                u_or_1[i] * (y_inv_vec[i] * (x * wL_pad[i] + wO_pad[i]
+                                             - b * s_rev[i]) - Scalar.one())
+                for i in range(padded_n)]
+
+            table_vec = ([sc.v for sc in g_scalars]
+                         + [sc.v for sc in h_scalars]
+                         + [(w * (proof.t_x - a * b)
+                             + r * (xx * (Scalar(wc) + delta_s)
+                                    - proof.t_x)).v]
+                         + [(-proof.e_blinding - r * proof.t_x_blinding).v])
+            (table_part,) = table.msm_many([table_vec])
 
         dyn_scalars = ([x, xx, xxx, u * x, u * xx, u * xxx]
-                       + [wVi * rxx for wVi in wV]
+                       + [Scalar(wVi) * rxx for wVi in wV]
                        + T_scalars
                        + u_sq
                        + u_inv_sq)

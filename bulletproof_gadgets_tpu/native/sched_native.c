@@ -22,20 +22,26 @@
 
 #define NB 128 /* buckets per 8-bit signed window */
 
-/* Pass 1: per-bucket occupancy counts.  digits: [n, wt] int32 in
- * [-128, 127]; counts: [wt*NB] int32, zeroed here.  Returns the total
+/* Both passes take digits TRANSPOSED ([wt, n], window-major) so the inner
+ * loop reads sequentially and — in the fill pass — writes stay inside one
+ * window's lane stripe (<= 128 lanes x rp rounds), which fits L2; the
+ * point-major order was measured 5x slower from cache misses across the
+ * whole idx array. */
+
+/* Pass 1: per-bucket occupancy counts.  digits_t: [wt, n] int8 in
+ * [-128, 127] int8; counts: [wt*NB] int32, zeroed here.  Returns the total
  * number of nonzero entries. */
-int64_t bpg_msm_schedule_counts(const int32_t *digits, int64_t n, int64_t wt,
-                                int32_t *counts) {
+int64_t bpg_msm_schedule_counts(const int8_t *digits_t, int64_t n,
+                                int64_t wt, int32_t *counts) {
     memset(counts, 0, (size_t)(wt * NB) * sizeof(int32_t));
     int64_t total = 0;
-    for (int64_t i = 0; i < n; i++) {
-        const int32_t *row = digits + i * wt;
-        for (int64_t w = 0; w < wt; w++) {
-            int32_t d = row[w];
+    for (int64_t w = 0; w < wt; w++) {
+        const int8_t *row = digits_t + w * n;
+        int32_t *cw = counts + w * NB;
+        for (int64_t i = 0; i < n; i++) {
+            int32_t d = row[i];
             if (d) {
-                int32_t b = d < 0 ? -d : d;
-                counts[w * NB + b - 1]++;
+                cw[(d < 0 ? -d : d) - 1]++;
                 total++;
             }
         }
@@ -47,19 +53,20 @@ int64_t bpg_msm_schedule_counts(const int32_t *digits, int64_t n, int64_t wt,
  * caller) with source indices: i for positive digits, i+n for negative.
  * offs: [wt*NB] pool-lane offset per bucket; t: round budget (entry #r of
  * a bucket -> round r%t, pool lane offs[bucket]+r/t; r%t < rp always). */
-void bpg_msm_schedule_fill(const int32_t *digits, int64_t n, int64_t wt,
+void bpg_msm_schedule_fill(const int8_t *digits_t, int64_t n, int64_t wt,
                            int64_t t, int64_t p, const int32_t *offs,
                            int32_t *counts, int32_t *idx) {
     memset(counts, 0, (size_t)(wt * NB) * sizeof(int32_t));
-    for (int64_t i = 0; i < n; i++) {
-        const int32_t *row = digits + i * wt;
-        for (int64_t w = 0; w < wt; w++) {
-            int32_t d = row[w];
+    for (int64_t w = 0; w < wt; w++) {
+        const int8_t *row = digits_t + w * n;
+        int32_t *cw = counts + w * NB;
+        const int32_t *ow = offs + w * NB;
+        for (int64_t i = 0; i < n; i++) {
+            int32_t d = row[i];
             if (d) {
-                int64_t b = w * NB + (d < 0 ? -d : d) - 1;
-                int32_t r = counts[b]++;
-                int64_t lane = offs[b] + r / t;
-                idx[(int64_t)(r % t) * p + lane] =
+                int32_t b = (d < 0 ? -d : d) - 1;
+                int32_t r = cw[b]++;
+                idx[(int64_t)(r % t) * p + ow[b] + r / t] =
                     d < 0 ? (int32_t)(i + n) : (int32_t)i;
             }
         }

@@ -52,7 +52,7 @@ W = 32 * 8 // C           # 32 windows per 256-bit scalar
 _2D = 2 * _D % _P
 
 _ROUND_PAD = 32           # rounds padded to a multiple (bounds jit shapes)
-_LANE_PAD = 512           # pool lanes padded to a multiple
+_LANE_PAD = 4096          # pool lanes padded to a multiple of the kernel block
 
 
 class Schedule:
@@ -123,22 +123,33 @@ def _schedule_numpy(digits: np.ndarray, n: int) -> "Schedule":
 
 
 def build_schedule(digits: np.ndarray, n: int) -> "Schedule":
-    """digits [n, wt] int32 (signed, c=8) -> balanced (round, lane)
-    schedule.  Identity slot = 2n (source layout [P | -P | id])."""
-    wt = digits.shape[1]
+    """digits [n, wt] signed c=8 digits -> balanced (round, lane) schedule.
+    Identity slot = 2n (source layout [P | -P | id])."""
+    return build_schedule_t(
+        np.ascontiguousarray(digits.T, dtype=np.int8), n)
+
+
+def build_schedule_t(digits_t: np.ndarray, n: int) -> "Schedule":
+    """Window-major variant: digits_t [wt, n] int8 — the native layout of
+    flvec.digits_device readbacks, and the layout the C passes want (reads
+    sequential; fill writes confined to one window's cache-resident lane
+    stripe)."""
+    wt, nn = digits_t.shape
+    assert nn == n
     m = wt * NB
     lib = native.load()
     if lib is None:
-        return _schedule_numpy(digits, n)
-    dig = np.ascontiguousarray(digits, dtype=np.int32)
+        return _schedule_numpy(
+            np.ascontiguousarray(digits_t.T, dtype=np.int32), n)
+    dig_t = np.ascontiguousarray(digits_t, dtype=np.int8)
     counts = np.empty(m, dtype=np.int32)
     total = lib.bpg_msm_schedule_counts(
-        dig.ctypes.data, dig.shape[0], wt, counts.ctypes.data)
+        dig_t.ctypes.data, n, wt, counts.ctypes.data)
     t, sub, offs, pool, p_pad = _plan(counts.astype(np.int64), int(total))
     idx = np.full((t, p_pad), 2 * n, dtype=np.int32)
     scratch = np.empty(m, dtype=np.int32)
-    lib.bpg_msm_schedule_fill(dig.ctypes.data, dig.shape[0], wt, t, p_pad,
-                              offs.ctypes.data, scratch.ctypes.data,
+    lib.bpg_msm_schedule_fill(dig_t.ctypes.data, n, wt, t,
+                              p_pad, offs.ctypes.data, scratch.ctypes.data,
                               idx.ctypes.data)
     segid, last_pos, steps = _schedule_arrays(sub, offs, pool, p_pad, m)
     return Schedule(idx, segid, last_pos, steps, wt // W)
@@ -148,28 +159,32 @@ def build_schedule(digits: np.ndarray, n: int) -> "Schedule":
 # affine source tables (device)
 
 def prep_source(points):
-    """list[RistrettoPoint] -> (source pytree (x, y, t2d) of [NL, 2n+1]
-    device arrays, n).  Lane layout: [P_0..P_{n-1} | -P_0..-P_{n-1} | id];
-    t2d = x*y*2d mod p (pre-scaled so the kernel saves the 2d mul)."""
+    """list[RistrettoPoint] -> (source [2n+1, 64] int32 device array, n).
+
+    Row layout packs all three affine coordinates so the schedule gather is
+    ONE row-gather (measured: XLA gather cost is per-row, not per-byte):
+    cols 0:20 = x limbs, 20:40 = y limbs, 40:60 = t2d limbs, 60:64 = pad,
+    where t2d = x*y*2d mod p (pre-scaled so the kernel saves the 2d mul).
+    Rows: [P_0..P_{n-1} | -P_0..-P_{n-1} | identity]."""
     n = len(points)
     aff = batch_normalize(points)
     xs = [pt.X for pt in aff]
     ys = [pt.Y for pt in aff]
     t2ds = [pt.T * _2D % _P for pt in aff]
-    x_cols = fp.ints_to_limbs_cols(
-        xs + [(_P - x) % _P for x in xs] + [0])
-    y_cols = fp.ints_to_limbs_cols(ys + ys + [1])
-    t_cols = fp.ints_to_limbs_cols(
-        t2ds + [(_P - t) % _P for t in t2ds] + [0])
-    return (jnp.asarray(x_cols), jnp.asarray(y_cols),
-            jnp.asarray(t_cols)), n
+    rows = np.zeros((2 * n + 1, 64), dtype=np.int32)
+    rows[:, 0:20] = fp.ints_to_limbs_cols(
+        xs + [(_P - x) % _P for x in xs] + [0]).T
+    rows[:, 20:40] = fp.ints_to_limbs_cols(ys + ys + [1]).T
+    rows[:, 40:60] = fp.ints_to_limbs_cols(
+        t2ds + [(_P - t) % _P for t in t2ds] + [0]).T
+    return jnp.asarray(rows), n
 
 
 # ---------------------------------------------------------------------------
 # device pipeline
 
 def _bucket_kernel(bias, gx, gy, gt, ox, oy, oz, ot):
-    r = pl.program_id(0)
+    r = pl.program_id(1)
 
     @pl.when(r == 0)
     def _():
@@ -222,23 +237,33 @@ def _seg_scan(x, segid, steps: int):
     return jax.lax.fori_loop(0, steps, body, x)
 
 
+_BLK = 4096               # bucket-kernel lane block (~3.2 MB VMEM)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def _msm_serial_device(idx, segid, last_pos, src, k: int, merge_steps: int):
-    """idx [T, P]; segid [P]; last_pos [M=k*W*NB]; src (x, y, t2d) [NL, S].
-    Returns 4-tuple of [NL, k]: one extended point per vector."""
+    """idx [T, P]; segid [P]; last_pos [M=k*W*NB]; src [S, 64] packed rows.
+    Returns ONE [4, NL, k] array (one extended point per vector) so the
+    host pays a single readback round trip."""
     t_rounds, p = idx.shape
     m = last_pos.shape[0]
     flat = idx.reshape(-1)
-    g = tuple(jnp.take(s, flat, axis=1) for s in src)   # [NL, T*P]
+    g64 = jnp.take(src, flat, axis=0).T                 # [64, T*P]
+    g = (g64[0:NL], g64[NL:2 * NL], g64[2 * NL:3 * NL])
 
     bias = jnp.asarray(_SUB_BIAS_COL)
     d2 = jnp.asarray(_D2_COL)
-    spec = pl.BlockSpec((NL, p), lambda r: (0, r), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((NL, p), lambda r: (0, 0), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((NL, 1), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    blk = min(p, _BLK)
+    nb = p // blk
+    spec = pl.BlockSpec((NL, blk), lambda j, r: (0, r * nb + j),
+                        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((NL, blk), lambda j, r: (0, j),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((NL, 1), lambda j, r: (0, 0),
+                         memory_space=pltpu.VMEM)
     pool = pl.pallas_call(
         _bucket_kernel,
-        grid=(t_rounds,),
+        grid=(nb, t_rounds),
         in_specs=[cspec] + [spec] * 3,
         out_specs=[ospec] * 4,
         out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
@@ -264,38 +289,50 @@ def _msm_serial_device(idx, segid, last_pos, src, k: int, merge_steps: int):
     wspec = pl.BlockSpec((1, NL, k), lambda i: (W - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM)
     pospec = pl.BlockSpec((NL, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    hcspec = pl.BlockSpec((NL, 1), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _horner_kernel,
         grid=(W,),
-        in_specs=[cspec, cspec] + [wspec] * 4,
+        in_specs=[hcspec, hcspec] + [wspec] * 4,
         out_specs=[pospec] * 4,
         out_shape=[jax.ShapeDtypeStruct((NL, k), jnp.int32)] * 4,
         interpret=_use_interpret(),
     )(bias, d2, *ws3)
-    return tuple(out)
+    return jnp.stack(out)
 
 
-def _points_from_cols(cols, k: int):
-    xs = fp.from_limbs(np.asarray(cols[0]).T)
-    ys = fp.from_limbs(np.asarray(cols[1]).T)
-    zs = fp.from_limbs(np.asarray(cols[2]).T)
-    ts = fp.from_limbs(np.asarray(cols[3]).T)
+def _points_from_cols(packed, k: int):
+    """[4, NL, k] device array -> host points (ONE readback transfer)."""
+    arr = np.asarray(packed)
+    xs = fp.from_limbs(arr[0].T)
+    ys = fp.from_limbs(arr[1].T)
+    zs = fp.from_limbs(arr[2].T)
+    ts = fp.from_limbs(arr[3].T)
     return [RistrettoPoint(xs[i], ys[i], zs[i], ts[i]) for i in range(k)]
+
+
+def _launch(sched: "Schedule", src):
+    cols = _msm_serial_device(jnp.asarray(sched.idx),
+                              jnp.asarray(sched.segid),
+                              jnp.asarray(sched.last_pos),
+                              src, sched.k, sched.merge_steps)
+    return _points_from_cols(cols, sched.k)
 
 
 def msm_many(vectors, src, n: int):
     """vectors: list of length-n int lists (any residue class mod L);
     src: prepped source from prep_source.  One device launch."""
-    k = len(vectors)
     digit_blocks = [signed_digits([v % L for v in vec], C)
                     for vec in vectors]
     digits = np.concatenate(digit_blocks, axis=1)       # [n, k*W]
-    sched = build_schedule(digits, n)
-    cols = _msm_serial_device(jnp.asarray(sched.idx),
-                              jnp.asarray(sched.segid),
-                              jnp.asarray(sched.last_pos),
-                              src, k, sched.merge_steps)
-    return _points_from_cols(cols, k)
+    return _launch(build_schedule(digits, n), src)
+
+
+def msm_many_digits_t(digits_t: np.ndarray, src, n: int):
+    """Device-produced digit path (flvec.digits_device readback): digits_t
+    [k*W, n] int8, window-major — no host bigints anywhere."""
+    return _launch(build_schedule_t(digits_t, n), src)
 
 
 def msm(scalars, points) -> RistrettoPoint:
