@@ -4,76 +4,148 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 vs_baseline is relative to the BASELINE.json north-star target of
 5M scalar-mults/s/chip (the reference publishes no numbers of its own —
-its AVX2/Pippenger stack is the implicit competitor).
+its AVX2/Pippenger stack is the implicit competitor, invoked at
+/root/reference/src/prove.rs:79 and src/verify.rs:71).
 
-Extra diagnostics go to stderr.
+Measures the serial-bucket Pippenger path (ops/msm_serial.py) — the
+default backend — over a size sweep; the headline number is the best
+throughput in the sweep.  Per-size rates and a speed-of-light fraction
+(vs the HBM-traffic floor of the bucket stage) go to stderr.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 TARGET = 5_000_000.0
+HBM_GBPS = float(os.environ.get("BPG_BENCH_HBM_GBPS", "819"))  # v5e
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def run_size(n, rnd, msm_serial, signed_digits, L, gens):
+    """One sweep point: n scalar-mults against a resident gens table."""
+    import jax.numpy as jnp
+
+    half = n // 2
+    points = gens.G(half) + gens.H(half)
+    t0 = time.time()
+    src, _ = msm_serial.prep_source(points)
+    src.block_until_ready()
+    log(f"  n={n}: source prep+upload {time.time() - t0:.1f}s")
+
+    def scalars():
+        raw = rnd.integers(0, 1 << 62, size=(n, 5), dtype=np.uint64)
+        return [int(sum(int(raw[i, j]) << (62 * j) for j in range(5))) % L
+                for i in range(n)]
+
+    # warmup / compile (fresh digits so the schedule shape is typical)
+    ks = scalars()
+    t0 = time.time()
+    r = msm_serial.msm_many([ks], src, n)[0]
+    sink = r.compress()
+    log(f"  n={n}: compile+first run {time.time() - t0:.1f}s "
+        f"-> {sink.hex()[:16]}...")
+
+    iters = 5
+    digs = [np.asarray(signed_digits(scalars(), msm_serial.C))
+            for _ in range(iters)]
+    # dispatch all launches before the readbacks: jax queues them on the
+    # device, so the per-launch host round trip (large over the dev tunnel)
+    # amortizes — matching how the prover overlaps schedule build with the
+    # previous launch
+    t0 = time.time()
+    pending = []
+    for d in digs:
+        sched = msm_serial.build_schedule(d, n)
+        pending.append((msm_serial._msm_serial_device(
+            jnp.asarray(sched.idx), jnp.asarray(sched.segid),
+            jnp.asarray(sched.last_pos), src, sched.k, sched.merge_steps),
+            sched.k))
+    pts = [msm_serial._points_from_cols(c, k) for c, k in pending]
+    dt = (time.time() - t0) / iters
+    last = pts[-1][0]
+    # HBM floor: the bucket stage gathers T*P source rows of 256 B and the
+    # pool accumulators stay in VMEM; everything else is lower-order.
+    rows = sched.idx.shape[0] * sched.idx.shape[1]
+    floor = rows * 256 / (HBM_GBPS * 1e9)
+    rate = n / dt
+    log(f"  n={n}: {dt*1e3:.1f} ms/MSM -> {rate:,.0f} mults/s "
+        f"(HBM floor {floor*1e3:.2f} ms, {floor/dt*100:.0f}% of light) "
+        f"shape={sched.idx.shape} last={last.compress().hex()[:16]}")
+
+    if n >= (1 << 15) and os.environ.get("BPG_BENCH_PREMUL", "1") == "1":
+        rate = max(rate, run_premul(n, points, rnd, L, last))
+    return rate
+
+
+def run_premul(n, points, rnd, L, expect):
+    """c=16 premultiplied-window path (ops/msm_premul) on the same points."""
+    import jax.numpy as jnp
+    from bulletproof_gadgets_tpu.ops import msm_premul
+    from bulletproof_gadgets_tpu.ops.msm import signed_digits
+
+    t0 = time.time()
+    table = msm_premul.PremulTable(points)
+    table.src.block_until_ready()
+    log(f"  n={n} premul: table build/load+upload {time.time() - t0:.1f}s")
+
+    def scalars():
+        raw = rnd.integers(0, 1 << 62, size=(n, 5), dtype=np.uint64)
+        return [int(sum(int(raw[i, j]) << (62 * j) for j in range(5))) % L
+                for i in range(n)]
+
+    t0 = time.time()
+    r = table.msm_many([scalars()])[0]
+    log(f"  n={n} premul: compile+first run {time.time() - t0:.1f}s "
+        f"-> {r.compress().hex()[:16]}...")
+
+    iters = 5
+    digs = [np.asarray(signed_digits(scalars(), msm_premul.C16))
+            for _ in range(iters)]
+    t0 = time.time()
+    pending = []
+    for d in digs:
+        sched = msm_premul.build_schedule16(d, n)
+        pending.append((msm_premul._msm_premul_device(
+            jnp.asarray(sched.idx), jnp.asarray(sched.segid),
+            jnp.asarray(sched.last_pos), table.src, sched.k,
+            sched.merge_steps), sched.k))
+    pts = [msm_premul._points_from_cols(c, k) for c, k in pending]
+    dt = (time.time() - t0) / iters
+    rate = n / dt
+    log(f"  n={n} premul: {dt*1e3:.1f} ms/MSM -> {rate:,.0f} mults/s "
+        f"shape={sched.idx.shape} last={pts[-1][0].compress().hex()[:16]}")
+    return rate
+
+
 def main():
     import jax
-    import jax.numpy as jnp
-    from bulletproof_gadgets_tpu.core.ristretto import RISTRETTO_BASEPOINT
     from bulletproof_gadgets_tpu.core.scalar import L
-    from bulletproof_gadgets_tpu.ops import curve, msm as msm_ops, msm_cols
-    from bulletproof_gadgets_tpu.ops.pallas_curve import to_cols
+    from bulletproof_gadgets_tpu.core.gens import BulletproofGens
+    from bulletproof_gadgets_tpu.ops import engine  # wires compile cache
+    from bulletproof_gadgets_tpu.ops import msm_serial
+    from bulletproof_gadgets_tpu.ops.msm import signed_digits
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
-    c = msm_ops.choose_c(n)
-    log(f"backend={jax.default_backend()} n={n} c={c}")
-
-    # Device-side point generation: prefix scan of n copies of the basepoint
-    # gives [B, 2B, ..., nB] without host big-int work.
-    base = curve.points_to_device([RISTRETTO_BASEPOINT])
-    tiled = to_cols(tuple(jnp.tile(x, (n, 1)) for x in base))
-    t0 = time.time()
-    points = msm_cols._masked_scan(tiled, n, (n - 1).bit_length())
-    points = tuple(np.asarray(x) for x in points)  # force + keep resident
-    points = tuple(jnp.asarray(x) for x in points)
-    log(f"point generation: {time.time() - t0:.1f}s")
-
+    sizes = ([int(a) for a in sys.argv[1:]]
+             or [1 << k for k in (12, 14, 16, 17)])
+    log(f"backend={jax.default_backend()} sizes={sizes}")
+    gens = BulletproofGens(max(sizes) // 2)
     rnd = np.random.default_rng(42)
-    raw = rnd.integers(0, 1 << 62, size=(n, 5), dtype=np.uint64)
-    ks = [int(sum(int(raw[i, j]) << (62 * j) for j in range(5))) % L
-          for i in range(n)]
-    digits = msm_ops.signed_digits(ks, c)
 
-    # warmup/compile
-    t0 = time.time()
-    ws = msm_cols.window_sums(digits, points, c)
-    sink0 = int(np.asarray(ws[0]).sum())
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    best = 0.0
+    for n in sizes:
+        best = max(best, run_size(n, rnd, msm_serial, signed_digits, L, gens))
 
-    iters = 3
-    t0 = time.time()
-    sink = 0
-    for _ in range(iters):
-        ws = msm_cols.window_sums(digits, points, c)
-        # force full materialization on host: block_until_ready may be lazy
-        # across remote-device tunnels
-        sink ^= int(np.asarray(ws[0]).sum())
-    dt = (time.time() - t0) / iters
-    log(f"sink={sink}")
-    result = msm_ops.horner_combine(ws, c)
-    log(f"per-MSM wall: {dt:.3f}s; result {result.compress().hex()[:16]}...")
-
-    rate = n / dt
     print(json.dumps({
         "metric": "pedersen_msm_throughput",
-        "value": round(rate, 1),
+        "value": round(best, 1),
         "unit": "scalar-mults/s/chip",
-        "vs_baseline": round(rate / TARGET, 4),
+        "vs_baseline": round(best / TARGET, 4),
     }))
 
 

@@ -61,7 +61,8 @@ class InnerProductProof:
 
         innerproduct_domain_sep(transcript, n_full)
 
-        if table is not None and hasattr(table, "src") and n_full > 1:
+        if (table is not None and getattr(table, "supports_digits", False)
+                and n_full > 1):
             # Device-resident rounds (serial-bucket table): coefficient
             # vectors live on the TPU, host sees only digits + L/R points.
             # a/b may arrive as device [n, NW] limb arrays (from

@@ -226,7 +226,13 @@ class Prover:
                 + zeros_N + [0, o_blinding1.v])
         v_S = ([s.v for s in s_L1] + zpad
                + [s.v for s in s_R1] + zpad + [0, s_blinding1.v])
-        p_AI, p_AO, p_S = table.msm_many([v_AI, v_AO, v_S])
+        if getattr(table, "supports_digits", False):
+            # digits recoded on device; schedule built device-side too
+            from ..ops import flvec
+            dig = flvec.digits_t_stacked([v_AI, v_AO, v_S])
+            p_AI, p_AO, p_S = table.msm_digits(dig)
+        else:
+            p_AI, p_AO, p_S = table.msm_many([v_AI, v_AO, v_S])
         A_I1 = p_AI.compress()
         A_O1 = p_AO.compress()
         S1 = p_S.compress()
@@ -259,7 +265,7 @@ class Prover:
         wL, wR, wO, wV = self._flattened_constraints(z)
         y_inv = y.invert()
 
-        device_vectors = hasattr(table, "src")
+        device_vectors = getattr(table, "supports_digits", False)
         if device_vectors:
             # O(n) polynomial math on the TPU (ops/prover_device); this is
             # dalek's l/r/t construction inside prover.prove
@@ -511,12 +517,11 @@ class Verifier:
         # dynamic MSM.
         table = generator_table(bp_gens.G(padded_n), bp_gens.H(padded_n),
                                 pc_gens.B, pc_gens.B_blinding)
-        if hasattr(table, "src"):
+        if getattr(table, "supports_digits", False):
             # O(n) scalar construction on device (ops/verifier_device);
             # host computes only delta and the two B-slot coefficients
             from ..ops import verifier_device
             from ..ops.prover_device import int_powers
-            from ..ops.msm_serial import build_schedule_t, _launch
             u_sq, u_inv_sq, allinv = \
                 proof.ipp_proof.verification_challenges(padded_n, t)
             yi_pow = int_powers(y_inv.v % L_MOD, max(n, 1))
@@ -528,8 +533,7 @@ class Verifier:
             dig = verifier_device.table_digits(
                 ynw, wL, wO, y_inv.v, x.v, a.v, b.v, u.v,
                 allinv.v, [v.v for v in u_sq], n, n1, padded_n, c_B, c_Bb)
-            (table_part,) = _launch(build_schedule_t(dig, table.m),
-                                    table.src)
+            (table_part,) = table.msm_digits(dig)
         else:
             u_sq, u_inv_sq, s = \
                 proof.ipp_proof.verification_scalars(padded_n, t)

@@ -130,6 +130,18 @@ def digits_from_limbs(arr) -> np.ndarray:
     return digits
 
 
+def digits_t_stacked(vectors):
+    """k equal-length int lists -> [k*32, n] int8 DEVICE digits (window-
+    major per vector, vectors stacked) — the layout the serial-bucket MSM's
+    device schedule builder consumes.  One limb upload, recode on device."""
+    k = len(vectors)
+    n = len(vectors[0])
+    flat = [v % L for vec in vectors for v in vec]
+    dig = digits_device(jnp.asarray(to_limbs(flat)))     # [32, k*n]
+    return jnp.concatenate([dig[:, i * n:(i + 1) * n] for i in range(k)],
+                           axis=0)
+
+
 def digits_device(x):
     """Device version of digits_from_limbs: [..., NW] limbs (value < 2^254,
     any rep mod l) -> [32, ...] int8 signed base-256 digits, WINDOW-LEADING

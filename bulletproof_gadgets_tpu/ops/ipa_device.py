@@ -147,8 +147,7 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
         dig = _scalars(a_d, b_d, gc_d, hc_d, wr2,
                        mk["ga"], mk["hi"], mk["cs"], mk["lo_i"],
                        mk["hi_i"])
-        pL, pR = msm_serial.msm_many_digits_t(
-            np.asarray(dig), table.src, table.m)
+        pL, pR = table.msm_digits(dig)
         Lb = pL.compress()
         Rb = pR.compress()
         append_point(transcript, b"L", Lb)

@@ -27,6 +27,7 @@ Role in the reference stack: dalek's Pippenger + AVX2 backend, invoked from
 prover.prove / verifier.verify (/root/reference/src/prove.rs:79,
 src/verify.rs:71; SURVEY.md §2.B).
 """
+import os
 from functools import partial
 
 import numpy as np
@@ -66,10 +67,20 @@ class Schedule:
         self.k = k
 
 
-def _plan(counts: np.ndarray, total: int):
+def _plan(counts: np.ndarray, total: int,
+          force_t: int = None, force_p: int = None):
     """Round budget T and per-bucket pool offsets from occupancy counts.
     T ~ mean + 3*sqrt(mean) so uniform digit streams rarely split."""
     m = counts.shape[0]
+    if force_t is not None:
+        t = force_t
+        sub = -(-counts // t)
+        pool = int(sub.sum())
+        p_pad = force_p if force_p is not None else (
+            -(-(pool + 1) // _LANE_PAD) * _LANE_PAD)
+        assert pool + 1 <= p_pad, (pool, p_pad)
+        offs = np.concatenate([[0], np.cumsum(sub)[:-1]]).astype(np.int32)
+        return t, sub, offs, pool, p_pad
     mean = max(1.0, total / m)
     t = int(np.ceil(mean + 3.0 * np.sqrt(mean)))
     t = -(-t // _ROUND_PAD) * _ROUND_PAD
@@ -97,7 +108,8 @@ def _schedule_arrays(sub, offs, pool, p_pad, m):
     return segid, last_pos, merge_steps
 
 
-def _schedule_numpy(digits: np.ndarray, n: int) -> "Schedule":
+def _schedule_numpy(digits: np.ndarray, n: int,
+                    force_t: int = None, force_p: int = None) -> "Schedule":
     """Fallback scheduler (the C path is ~40x faster at 4M entries)."""
     wt = digits.shape[1]
     m = wt * NB
@@ -110,7 +122,7 @@ def _schedule_numpy(digits: np.ndarray, n: int) -> "Schedule":
     lf = lanes.T.ravel()[valid.T.ravel()]
     sf = src.T.ravel()[valid.T.ravel()]
     counts = np.bincount(lf, minlength=m).astype(np.int64)
-    t, sub, offs, pool, p_pad = _plan(counts, int(lf.size))
+    t, sub, offs, pool, p_pad = _plan(counts, int(lf.size), force_t, force_p)
     order = np.argsort(lf, kind="stable")
     ls = lf[order]
     coffs = np.zeros(m + 1, dtype=np.int64)
@@ -129,23 +141,30 @@ def build_schedule(digits: np.ndarray, n: int) -> "Schedule":
         np.ascontiguousarray(digits.T, dtype=np.int8), n)
 
 
-def build_schedule_t(digits_t: np.ndarray, n: int) -> "Schedule":
+def build_schedule_t(digits_t: np.ndarray, n: int,
+                     force_t: int = None, force_p: int = None) -> "Schedule":
     """Window-major variant: digits_t [wt, n] int8 — the native layout of
     flvec.digits_device readbacks, and the layout the C passes want (reads
     sequential; fill writes confined to one window's cache-resident lane
-    stripe)."""
+    stripe).
+
+    force_t/force_p pin the (rounds, pool) shape — used by the sharded MSM,
+    where every shard must compile/execute the same jit shape (the max of
+    the shards' natural plans)."""
     wt, nn = digits_t.shape
     assert nn == n
     m = wt * NB
     lib = native.load()
     if lib is None:
         return _schedule_numpy(
-            np.ascontiguousarray(digits_t.T, dtype=np.int32), n)
+            np.ascontiguousarray(digits_t.T, dtype=np.int32), n,
+            force_t, force_p)
     dig_t = np.ascontiguousarray(digits_t, dtype=np.int8)
     counts = np.empty(m, dtype=np.int32)
     total = lib.bpg_msm_schedule_counts(
         dig_t.ctypes.data, n, wt, counts.ctypes.data)
-    t, sub, offs, pool, p_pad = _plan(counts.astype(np.int64), int(total))
+    t, sub, offs, pool, p_pad = _plan(counts.astype(np.int64), int(total),
+                                      force_t, force_p)
     idx = np.full((t, p_pad), 2 * n, dtype=np.int32)
     scratch = np.empty(m, dtype=np.int32)
     lib.bpg_msm_schedule_fill(dig_t.ctypes.data, n, wt, t,
@@ -156,22 +175,110 @@ def build_schedule_t(digits_t: np.ndarray, n: int) -> "Schedule":
 
 
 # ---------------------------------------------------------------------------
+# device-side schedule construction — digits stay on the device
+#
+# The entry stream is sorted by bucket lane with ONE lax.sort_key_val, then
+# the [T, P] schedule matrix is a pure GATHER from the sorted source list:
+# pool lane p belongs to bucket segid[p], and its round-r slot holds sorted
+# entry  coffs[b] + (p - offs[b]) * T + r  (lane-major assignment inside a
+# bucket — any bijection of a bucket's entries onto its (round, lane) slots
+# is valid, additions commute).  The only host traffic per MSM is the
+# [M+1] coffs readback that sizes (T, P) and a few KB of plan arrays.
+
+
+class DeviceSchedule:
+    __slots__ = ("sv", "coffs", "offs", "segid", "last_pos",
+                 "merge_steps", "k", "t", "p")
+
+    def __init__(self, sv, coffs, offs, segid, last_pos, merge_steps, k, t, p):
+        self.sv = sv                  # [wt*n] sorted sources (device)
+        self.coffs = coffs            # [M+1] bucket offsets (device)
+        self.offs = offs              # [M] pool offsets (host np)
+        self.segid = segid
+        self.last_pos = last_pos
+        self.merge_steps = merge_steps
+        self.k = k
+        self.t = t
+        self.p = p
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _entries_sorted(digits_t, wt: int, n: int):
+    """digits_t [wt, n] int8 (device) -> sorted (lane keys, sources) and
+    bucket cumulative offsets coffs [wt*NB + 1]."""
+    d = digits_t.astype(jnp.int32)
+    a = jnp.abs(d)
+    m = wt * NB
+    lane = jnp.arange(wt, dtype=jnp.int32)[:, None] * NB + a - 1
+    key = jnp.where(a > 0, lane, m)
+    i = jnp.arange(n, dtype=jnp.int32)[None, :]
+    srci = jnp.where(d < 0, i + n, i)
+    sk, sv = jax.lax.sort_key_val(key.reshape(-1), srci.reshape(-1))
+    coffs = jnp.searchsorted(sk, jnp.arange(m + 1, dtype=jnp.int32),
+                             method="scan_unrolled").astype(jnp.int32)
+    return sk, sv, coffs
+
+
+def build_schedule_device(digits_t_dev, n: int) -> "DeviceSchedule":
+    """digits_t_dev [wt, n] int8 ON DEVICE (e.g. flvec.digits_device output).
+    One small [M+1] readback plans (T, P); everything else stays resident."""
+    wt = digits_t_dev.shape[0]
+    m = wt * NB
+    _, sv, coffs_dev = _entries_sorted(digits_t_dev, wt, n)
+    coffs = np.asarray(coffs_dev).astype(np.int64)
+    counts = np.diff(coffs)
+    t, sub, offs, pool, p_pad = _plan(counts, int(coffs[-1]))
+    segid, last_pos, steps = _schedule_arrays(sub, offs, pool, p_pad, m)
+    return DeviceSchedule(sv, coffs_dev, offs, segid, last_pos, steps,
+                          wt // W, t, p_pad)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def _msm_serial_device_sorted(sv, coffs, offs, segid, last_pos, src,
+                              t_rounds: int, p: int, k: int,
+                              merge_steps: int, ident: int):
+    """Schedule-matrix-free MSM: builds idx [T, P] on device by gathering
+    from the sorted entry stream, then runs the shared pipeline."""
+    m = last_pos.shape[0]
+    q = jnp.clip(segid, 0, m - 1)                   # [P]
+    lanes = jnp.arange(p, dtype=jnp.int32)
+    base0 = coffs[q] + (lanes - offs[q]) * t_rounds
+    end = coffs[q + 1]
+    rank = base0[None, :] + jnp.arange(t_rounds, dtype=jnp.int32)[:, None]
+    valid = (segid[None, :] < m) & (rank < end[None, :])
+    picked = jnp.take(sv, jnp.clip(rank, 0, sv.shape[0] - 1).reshape(-1))
+    idx = jnp.where(valid, picked.reshape(t_rounds, p), ident)
+    return _pipeline(idx, segid, last_pos, src, k, merge_steps)
+
+
+def _launch_device(sched: "DeviceSchedule", src, n: int):
+    cols = _msm_serial_device_sorted(
+        sched.sv, sched.coffs, jnp.asarray(sched.offs),
+        jnp.asarray(sched.segid), jnp.asarray(sched.last_pos), src,
+        sched.t, sched.p, sched.k, sched.merge_steps, 2 * n)
+    return _points_from_cols(cols, sched.k)
+
+
+# ---------------------------------------------------------------------------
 # affine source tables (device)
 
 def prep_source(points):
-    """list[RistrettoPoint] -> (source [2n+1, 64] int32 device array, n).
+    """list[RistrettoPoint] -> (source [2n+1, 64] int16 device array, n).
 
     Row layout packs all three affine coordinates so the schedule gather is
     ONE row-gather (measured: XLA gather cost is per-row, not per-byte):
     cols 0:20 = x limbs, 20:40 = y limbs, 40:60 = t2d limbs, 60:64 = pad,
     where t2d = x*y*2d mod p (pre-scaled so the kernel saves the 2d mul).
+    13-bit limbs ship as int16 — rows are 128 B instead of 256 B, halving
+    the HBM traffic of the schedule gather (the pipeline's second-largest
+    cost); the bucket kernel widens to int32 in VMEM.
     Rows: [P_0..P_{n-1} | -P_0..-P_{n-1} | identity]."""
     n = len(points)
     aff = batch_normalize(points)
     xs = [pt.X for pt in aff]
     ys = [pt.Y for pt in aff]
     t2ds = [pt.T * _2D % _P for pt in aff]
-    rows = np.zeros((2 * n + 1, 64), dtype=np.int32)
+    rows = np.zeros((2 * n + 1, 64), dtype=np.int16)
     rows[:, 0:20] = fp.ints_to_limbs_cols(
         xs + [(_P - x) % _P for x in xs] + [0]).T
     rows[:, 20:40] = fp.ints_to_limbs_cols(ys + ys + [1]).T
@@ -183,7 +290,35 @@ def prep_source(points):
 # ---------------------------------------------------------------------------
 # device pipeline
 
-def _bucket_kernel(bias, gx, gy, gt, ox, oy, oz, ot):
+def _bucket_kernel(bias, gx, gy, gt, ox, oy, oz, ot, *, r_chunk: int):
+    """r_chunk rounds per grid step.  Blocks are [rc, NL, blk] with rounds
+    LEADING (untiled), so the in-kernel fori_loop can index them dynamically
+    without unrolling the madd body r_chunk times (unrolled variants blow
+    Mosaic compile time up by minutes per shape)."""
+    rc = pl.program_id(1)
+
+    @pl.when(rc == 0)
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
+        one = (row == 0).astype(jnp.int32)
+        ox[:] = jnp.zeros_like(ox)
+        oy[:] = one
+        oz[:] = one
+        ot[:] = jnp.zeros_like(ot)
+
+    def body(rr, acc):
+        return _madd_body(bias[:], *acc,
+                          gx[rr].astype(jnp.int32),
+                          gy[rr].astype(jnp.int32),
+                          gt[rr].astype(jnp.int32))
+
+    acc = (ox[:], oy[:], oz[:], ot[:])
+    acc = jax.lax.fori_loop(0, r_chunk, body, acc)
+    ox[:], oy[:], oz[:], ot[:] = acc
+
+
+def _bucket_kernel2d(bias, gx, gy, gt, ox, oy, oz, ot):
+    """rc=1 variant over a flat [NL, T*P] gathered layout."""
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -196,7 +331,9 @@ def _bucket_kernel(bias, gx, gy, gt, ox, oy, oz, ot):
         ot[:] = jnp.zeros_like(ot)
 
     x, y, z, t = _madd_body(bias[:], ox[:], oy[:], oz[:], ot[:],
-                            gx[:], gy[:], gt[:])
+                            gx[:].astype(jnp.int32),
+                            gy[:].astype(jnp.int32),
+                            gt[:].astype(jnp.int32))
     ox[:], oy[:], oz[:], ot[:] = x, y, z, t
 
 
@@ -240,33 +377,76 @@ def _seg_scan(x, segid, steps: int):
 _BLK = 4096               # bucket-kernel lane block (~3.2 MB VMEM)
 
 
+def _r_chunk(t_rounds: int) -> int:
+    """Rounds folded into one grid step (amortizes per-step overhead; the
+    in-spec block grows to [NL, rc, blk] ≈ rc * 0.33 MB per coordinate).
+    Mosaic requires the middle block dim be a multiple of 8, so valid
+    values are 1 (2D fallback) or multiples of 8 dividing T (T is padded
+    to a multiple of 32)."""
+    rc = int(os.environ.get("BPG_TPU_MSM_RCHUNK", "32"))
+    while rc > 1 and (t_rounds % rc or rc % 8):
+        rc //= 2
+    return max(rc, 1)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def _msm_serial_device(idx, segid, last_pos, src, k: int, merge_steps: int):
     """idx [T, P]; segid [P]; last_pos [M=k*W*NB]; src [S, 64] packed rows.
     Returns ONE [4, NL, k] array (one extended point per vector) so the
     host pays a single readback round trip."""
+    return _pipeline(idx, segid, last_pos, src, k, merge_steps)
+
+
+def _pipeline(idx, segid, last_pos, src, k: int, merge_steps: int):
+    ws = _window_sums_part(idx, segid, last_pos, src, k, merge_steps)
+    return _horner_part(ws, k)
+
+
+def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int):
+    """Bucket accumulation + merge + weighted window reduction.
+    Returns a 4-tuple of [NL, k*W] extended-coordinate window sums —
+    the shardable intermediate (window sums over disjoint point subsets
+    add with the group law; see parallel/sharded_serial.py)."""
     t_rounds, p = idx.shape
     m = last_pos.shape[0]
     flat = idx.reshape(-1)
-    g64 = jnp.take(src, flat, axis=0).T                 # [64, T*P]
-    g = (g64[0:NL], g64[NL:2 * NL], g64[2 * NL:3 * NL])
+    g64 = jnp.take(src, flat, axis=0)                   # [T*P, 64] int16
 
     bias = jnp.asarray(_SUB_BIAS_COL)
     d2 = jnp.asarray(_D2_COL)
     blk = min(p, _BLK)
     nb = p // blk
-    spec = pl.BlockSpec((NL, blk), lambda j, r: (0, r * nb + j),
-                        memory_space=pltpu.VMEM)
+    rc = _r_chunk(t_rounds)
+    if rc == 1:
+        g64t = g64.astype(jnp.int32).T                  # [64, T*P]
+        g = (g64t[0:NL], g64t[NL:2 * NL], g64t[2 * NL:3 * NL])
+        spec = pl.BlockSpec((NL, blk), lambda j, r: (0, r * nb + j),
+                            memory_space=pltpu.VMEM)
+        kernel = partial(_bucket_kernel2d)
+    else:
+        # rounds-leading layout [T, NL, P]: untiled lead dim -> the kernel
+        # fori_loop indexes rounds dynamically; int16 until VMEM
+        g3 = g64.reshape(t_rounds, p, 64).transpose(0, 2, 1)
+        g = (g3[:, 0:NL], g3[:, NL:2 * NL], g3[:, 2 * NL:3 * NL])
+        spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
+                            memory_space=pltpu.VMEM)
+        kernel = partial(_bucket_kernel, r_chunk=rc)
     ospec = pl.BlockSpec((NL, blk), lambda j, r: (0, j),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((NL, 1), lambda j, r: (0, 0),
                          memory_space=pltpu.VMEM)
+    # rc > 1 blocks are rc * 0.33 MB per coordinate; the Mosaic default
+    # scoped-VMEM budget (16 MB) only fits rc=1 at blk=4096, so raise it
+    # (v5e/v6e have 128 MB VMEM).
+    params = (None if _use_interpret() else
+              pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
     pool = pl.pallas_call(
-        _bucket_kernel,
-        grid=(nb, t_rounds),
+        kernel,
+        grid=(nb, t_rounds // rc),
         in_specs=[cspec] + [spec] * 3,
         out_specs=[ospec] * 4,
         out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
+        compiler_params=params,
         interpret=_use_interpret(),
     )(bias, *g)
 
@@ -280,8 +460,12 @@ def _msm_serial_device(idx, segid, last_pos, src, k: int, merge_steps: int):
     suffix = _masked_scan(rev, NB, 7)
     total = _masked_scan(suffix, NB, 7)
     lastpos_w = (jnp.arange(m // NB, dtype=jnp.int32) * NB + (NB - 1))
-    ws = tuple(x[:, lastpos_w] for x in total)          # [NL, k*W]
+    return tuple(x[:, lastpos_w] for x in total)        # [NL, k*W]
 
+
+def _horner_part(ws, k: int):
+    bias = jnp.asarray(_SUB_BIAS_COL)
+    d2 = jnp.asarray(_D2_COL)
     # Horner across windows, per vector, in one kernel launch.
     # lane order is [vector-major, window-minor]; kernel wants [W, NL, k]
     # with the high window first (index map below reverses).
@@ -329,9 +513,13 @@ def msm_many(vectors, src, n: int):
     return _launch(build_schedule(digits, n), src)
 
 
-def msm_many_digits_t(digits_t: np.ndarray, src, n: int):
-    """Device-produced digit path (flvec.digits_device readback): digits_t
-    [k*W, n] int8, window-major — no host bigints anywhere."""
+def msm_many_digits_t(digits_t, src, n: int):
+    """Window-major digit path: digits_t [k*W, n] int8, either a DEVICE
+    array (kept resident: sorted schedule built on device, one [M+1]
+    readback) or host numpy (C scheduler + idx upload)."""
+    if isinstance(digits_t, jnp.ndarray) and not isinstance(
+            digits_t, np.ndarray):
+        return _launch_device(build_schedule_device(digits_t, n), src, n)
     return _launch(build_schedule_t(digits_t, n), src)
 
 
@@ -351,6 +539,7 @@ class GeneratorTable:
     into the same launch by stacking their digit windows."""
 
     __slots__ = ("N", "m", "src")
+    supports_digits = True
 
     def __init__(self, G, H, B, B_blinding):
         self.N = len(G)
@@ -362,3 +551,8 @@ class GeneratorTable:
         for v in vectors:
             assert len(v) == self.m, (len(v), self.m)
         return msm_many(vectors, self.src, self.m)
+
+    def msm_digits(self, digits_t):
+        """digits_t [k*W, m] int8, window-major — host numpy (C scheduler)
+        or device array (device sort/schedule, digits never read back)."""
+        return msm_many_digits_t(digits_t, self.src, self.m)

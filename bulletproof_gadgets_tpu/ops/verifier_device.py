@@ -62,9 +62,8 @@ def table_digits(ynw, wL, wO, y_inv: int, x: int, a: int, b: int, u: int,
     u_sq_m = jnp.asarray(flvec.to_mont([v % L for v in u_sq]))
     tail = jnp.asarray(flvec.to_limbs([c_B % L, c_Bb % L]))
 
-    dig = _table_digits(wL_d, wO_d, ynw_d, yinv_m, u1_m,
-                        x_m, a_m, b_m, allinv_m, u_sq_m, tail)
-    return np.asarray(dig)
+    return _table_digits(wL_d, wO_d, ynw_d, yinv_m, u1_m,
+                         x_m, a_m, b_m, allinv_m, u_sq_m, tail)
 
 
 @jax.jit
