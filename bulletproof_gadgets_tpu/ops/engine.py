@@ -22,8 +22,13 @@ MIN_DEVICE_MSM = int(os.environ.get("BPG_TPU_MIN_DEVICE_MSM", "192"))
 
 
 def _setup_compilation_cache():
+    """One shared dir for all backends: XLA's persistent-cache keys include
+    the platform fingerprint, and NOT branching on jax.default_backend()
+    keeps the package import from initializing the XLA backend (required:
+    jax.distributed.initialize must run before any backend init —
+    parallel/distributed.py)."""
     try:
-        cache_dir = os.path.join(_CACHE_DIR, jax.default_backend())
+        cache_dir = os.path.join(_CACHE_DIR, "shared")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -73,12 +78,20 @@ def _table_key(G, H, B, B_blinding):
 
 
 def _table_factory(G, H, B, B_blinding):
-    key = _table_key(G, H, B, B_blinding)
+    from ..parallel import mesh as mesh_mod
+    active = mesh_mod.active_mesh()
+    shard = (active is not None and _impl() == "serial"
+             and active.shape.get("shard", 1) > 1)
+    key = _table_key(G, H, B, B_blinding) + (id(active) if shard else 0,)
     t = _table_cache.get(key)
     if t is None:
-        cls = (msm_serial.GeneratorTable if _impl() == "serial"
-               else msm_cols.GeneratorTable)
-        t = cls(G, H, B, B_blinding)
+        if shard:
+            from ..parallel.sharded_serial import ShardedGeneratorTable
+            t = ShardedGeneratorTable(active, G, H, B, B_blinding)
+        else:
+            cls = (msm_serial.GeneratorTable if _impl() == "serial"
+                   else msm_cols.GeneratorTable)
+            t = cls(G, H, B, B_blinding)
         if len(_table_cache) >= _TABLE_CACHE_MAX:
             _table_cache.pop(next(iter(_table_cache)))
         _table_cache[key] = t

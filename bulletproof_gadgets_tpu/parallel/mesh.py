@@ -14,6 +14,8 @@ import jax
 from jax.sharding import Mesh
 import numpy as np
 
+_active = None
+
 
 def make_mesh(n_shard: int = None, n_batch: int = 1) -> Mesh:
     devices = np.array(jax.devices())
@@ -21,3 +23,15 @@ def make_mesh(n_shard: int = None, n_batch: int = 1) -> Mesh:
         n_shard = len(devices) // n_batch
     devices = devices[: n_shard * n_batch].reshape(n_shard, n_batch)
     return Mesh(devices, ("shard", "batch"))
+
+
+def activate(mesh: Mesh) -> None:
+    """Make `mesh` the framework-wide execution mesh: generator tables (and
+    with them every prover/verifier MSM) shard over its "shard" axis.  Pass
+    None to return to single-device execution."""
+    global _active
+    _active = mesh
+
+
+def active_mesh():
+    return _active

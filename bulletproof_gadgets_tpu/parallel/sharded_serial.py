@@ -1,0 +1,156 @@
+"""Multi-device serial-bucket MSM: the real pipeline's TP/SP axis.
+
+The generator table (the [G | H | B | B_blinding] affine source every
+prover/verifier MSM rides, ops/msm_serial.GeneratorTable) is partitioned
+by POINT across the mesh's "shard" axis.  Each device holds only its
+contiguous slice of the source table and runs the full serial-bucket
+pipeline (schedule gather -> bucket kernel -> merge -> weighted window
+reduction) on its local points; the [NL, k*W] per-device window sums —
+a few KB regardless of table size — are all-gathered over ICI and
+tree-combined with the group law, then one device's Horner pass emits the
+final points.  Window sums over disjoint point subsets combine exactly
+(modular group law, no floats), so sharded proofs are byte-identical to
+single-device proofs (asserted by __graft_entry__.dryrun_multichip and
+tests/test_sharded_serial.py).
+
+Scheduling stays on the host: each shard's digit slice gets its own
+balanced schedule, padded to the max (T, P) over shards so every device
+executes the same compiled shape (SPMD).
+
+Reference analogue: this partitions the MSM inside prover.prove /
+verifier.verify (/root/reference/src/prove.rs:79, src/verify.rs:71) —
+the reference is single-threaded; the decomposition is SURVEY.md §2.C's
+TP row.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import msm_serial
+from ..ops.msm_serial import (
+    Schedule, build_schedule_t, prep_source, _window_sums_part,
+    _horner_part, _points_from_cols, _ROUND_PAD, _LANE_PAD, NB, W, C)
+from ..ops.pallas_curve import padd_cols
+from ..ops.msm import signed_digits
+from ..core.scalar import L
+
+
+def _combine_ws(stacked):
+    """[D, NL, kW] per-shard window sums (4-tuple) -> [NL, kW] totals,
+    log2(D) padd steps (the shard axis folds into padd_cols lanes)."""
+    d = stacked[0].shape[0]
+    nl, kw = stacked[0].shape[1], stacked[0].shape[2]
+    while d > 1:
+        half = d // 2
+        lo = tuple(x[:half].transpose(1, 0, 2).reshape(nl, half * kw)
+                   for x in stacked)
+        hi = tuple(x[half:2 * half].transpose(1, 0, 2).reshape(nl, half * kw)
+                   for x in stacked)
+        added = padd_cols(lo, hi)
+        added = tuple(x.reshape(nl, half, kw).transpose(1, 0, 2)
+                      for x in added)
+        if d % 2:
+            added = tuple(jnp.concatenate([a, x[2 * half:]], axis=0)
+                          for a, x in zip(added, stacked))
+            d = half + 1
+        else:
+            d = half
+        stacked = added
+    return tuple(x[0] for x in stacked)
+
+
+class ShardedGeneratorTable:
+    """Drop-in for msm_serial.GeneratorTable over a jax mesh with a "shard"
+    axis.  Exposes the same msm_many / msm_digits interface, so the
+    prover's A_I/A_O/S commitments, every IPA round's L/R pair, and the
+    verifier mega-MSM shard transparently."""
+
+    supports_digits = True
+
+    def __init__(self, mesh, G, H, B, B_blinding):
+        self.mesh = mesh
+        self.N = len(G)
+        assert len(H) == self.N
+        self.m = 2 * self.N + 2
+        self.D = mesh.shape["shard"]
+        self.mloc = -(-self.m // self.D)
+        pts = list(G) + list(H) + [B, B_blinding]
+        # pad entries never receive digit entries (digit columns are zero-
+        # padded), any valid point works
+        pts += [B] * (self.D * self.mloc - self.m)
+        srcs = []
+        for d in range(self.D):
+            s, _ = prep_source(pts[d * self.mloc:(d + 1) * self.mloc])
+            srcs.append(s)
+        self.src_sharded = jax.device_put(
+            jnp.stack(srcs),
+            NamedSharding(mesh, P("shard", None, None)))
+
+    # -- scheduling ---------------------------------------------------------
+    def _schedules(self, digits_t: np.ndarray):
+        """Split [kW, m] digits by point slice; equalize shapes across
+        shards (max T, max P) so the shard_map body compiles once."""
+        kw = digits_t.shape[0]
+        pad_cols = self.D * self.mloc - self.m
+        if pad_cols:
+            digits_t = np.concatenate(
+                [digits_t, np.zeros((kw, pad_cols), digits_t.dtype)], axis=1)
+        slices = [np.ascontiguousarray(
+            digits_t[:, d * self.mloc:(d + 1) * self.mloc])
+            for d in range(self.D)]
+        scheds = [build_schedule_t(s, self.mloc) for s in slices]
+        t_max = max(s.idx.shape[0] for s in scheds)
+        p_max = max(s.idx.shape[1] for s in scheds)
+        if any(s.idx.shape != (t_max, p_max) for s in scheds):
+            scheds = [build_schedule_t(s, self.mloc, force_t=t_max,
+                                       force_p=p_max) for s in slices]
+        merge_steps = max(s.merge_steps for s in scheds)
+        return scheds, merge_steps
+
+    # -- execution ----------------------------------------------------------
+    def _run(self, scheds, merge_steps: int):
+        k = scheds[0].k
+        mesh = self.mesh
+        idx = jax.device_put(
+            jnp.stack([jnp.asarray(s.idx) for s in scheds]),
+            NamedSharding(mesh, P("shard", None, None)))
+        segid = jax.device_put(
+            jnp.stack([jnp.asarray(s.segid) for s in scheds]),
+            NamedSharding(mesh, P("shard", None)))
+        lastp = jax.device_put(
+            jnp.stack([jnp.asarray(s.last_pos) for s in scheds]),
+            NamedSharding(mesh, P("shard", None)))
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P("shard", None, None), P("shard", None),
+                           P("shard", None), P("shard", None, None)),
+                 out_specs=P(None, None, None),
+                 check_rep=False)
+        def f(idx_l, segid_l, lastp_l, src_l):
+            ws = _window_sums_part(idx_l[0], segid_l[0], lastp_l[0],
+                                   src_l[0], k, merge_steps)
+            stacked = jnp.stack(ws)                       # [4, NL, kW]
+            gathered = jax.lax.all_gather(stacked, "shard")  # [D, 4, ...]
+            parts = tuple(gathered[:, i] for i in range(4))
+            total = _combine_ws(parts)
+            return _horner_part(total, k)
+
+        cols = f(idx, segid, lastp, self.src_sharded)
+        return _points_from_cols(cols, k)
+
+    # -- public API (GeneratorTable-compatible) ------------------------------
+    def msm_digits(self, digits_t):
+        d = np.asarray(digits_t)
+        scheds, merge_steps = self._schedules(d)
+        return self._run(scheds, merge_steps)
+
+    def msm_many(self, vectors):
+        for v in vectors:
+            assert len(v) == self.m, (len(v), self.m)
+        blocks = [signed_digits([x % L for x in vec], C) for vec in vectors]
+        digits = np.concatenate(blocks, axis=1)          # [m, k*W]
+        return self.msm_digits(np.ascontiguousarray(digits.T, np.int8))
