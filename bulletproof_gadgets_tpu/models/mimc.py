@@ -50,7 +50,17 @@ def pad_preimage(preimage_scalars):
     return scalars
 
 
+# Image cache: batched proving (lang/batch.py) pre-computes images for a
+# whole witness batch with the device sponge kernel (ops/mimc_kernels.
+# mimc_hash_batch) and seeds this dict; single-statement proving falls
+# through to the host sponge.
+_image_cache = {}
+
+
 def mimc_hash(preimage: bytes) -> Scalar:
+    cached = _image_cache.get(preimage)
+    if cached is not None:
+        return cached
     scalars = be_to_scalars(preimage)
     scalars = pad_preimage(scalars)
     return Scalar(mimc_sponge([s.v for s in scalars]))

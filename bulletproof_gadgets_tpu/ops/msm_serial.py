@@ -6,22 +6,31 @@ The scan-based path (ops/msm_cols.py) paid O(n log n) additions instead; this
 module restores the optimal O(n) by making buckets TPU *lanes* and streaming
 the points through them round-by-round:
 
-  host   digit recode (ops/msm.signed_digits) -> balanced schedule
-         idx[T, P] built by two linear C passes (native/sched_native.c):
-         a bucket with occupancy c is split over ceil(c/T) consecutive
+  schedule  a bucket with occupancy c is split over ceil(c/T) consecutive
          pool lanes (occupancies are wildly non-uniform: scalars mod l
          have a short top window, and range-proof circuits commit bit
          vectors whose digits all hit bucket 1 — splitting keeps every
-         round fully occupied);
-  device gather the schedule from an affine source table [P | -P | id]
-         (T pre-scaled by 2d) -> Pallas kernel, grid (T,): one fused
-         mixed-add per round into P bucket accumulators resident in VMEM
-         -> segmented-scan merge of split buckets -> weighted
-         bucket->window reduction (masked scans) -> in-kernel Horner
-         across the 32 windows -> [k] extended points.
+         round fully occupied).  Two builders:
+         * host path (host digit arrays): two linear C passes
+           (native/sched_native.c) fill idx[T, P] directly;
+         * device path (digits already on device via flvec): ONE
+           lax.sort_key_val orders the entry stream by bucket lane and
+           the schedule matrix becomes a pure gather from the sorted
+           stream — per-MSM host traffic is a [M+1] offsets readback,
+           not a [T, P] matrix upload (which costs 3x the device compute
+           over a remote-device link at n=2^16).
+  device gather int16-packed affine rows [P | -P | id] (128 B each,
+         t pre-scaled by 2d) -> Pallas bucket kernel, grid (P/blk, T/rc):
+         rc fused mixed-adds per step into VMEM-resident accumulators
+         (rounds-leading block layout; in-kernel fori_loop, unrolling
+         blows Mosaic compile times) -> segmented-scan merge of split
+         buckets -> weighted bucket->window reduction (masked scans) ->
+         in-kernel Horner across the 32 windows -> [k] extended points.
 
 Work: ~(1+3/sqrt(mean)) * 32n mixed-adds per MSM vs the scan path's
 ~32n*log2(n); the whole device pipeline is ONE jit call per launch.
+For large FIXED tables, ops/msm_premul.py halves the additions again with
+c=16 premultiplied windows.
 
 Role in the reference stack: dalek's Pippenger + AVX2 backend, invoked from
 prover.prove / verifier.verify (/root/reference/src/prove.rs:79,

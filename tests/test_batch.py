@@ -1,0 +1,70 @@
+"""Batched-witness proving (lang/batch.py) — the DP axis."""
+import pytest
+
+from bulletproof_gadgets_tpu.lang.batch import (prove_batch, verify_batch,
+                                                warm_image_cache)
+from bulletproof_gadgets_tpu.models import mimc
+from bulletproof_gadgets_tpu.utils import rng
+from bulletproof_gadgets_tpu.utils.conversions import scalar_to_be
+
+
+@pytest.fixture(autouse=True)
+def _seeded():
+    rng.set_seed("batch")
+    yield
+    rng.set_seed(None)
+
+
+def test_prove_batch_equality():
+    gadgets = "EQUALS W0 W1\n"
+    instance = ""
+    witnesses = [
+        "W0 = 0x2a\nW1 = 0x2a\n",
+        "W0 = 0x1234\nW1 = 0x1234\n",
+        "W0 = 0xdeadbeef\nW1 = 0xdeadbeef\n",
+    ]
+    results = prove_batch("batch_eq", instance, witnesses, gadgets)
+    assert len(results) == 3
+    proofs = {p for p, _, _ in results}
+    assert len(proofs) == 3                        # distinct witnesses/blinds
+    oks = verify_batch("batch_eq", instance,
+                       [(p, c) for p, _, c in results], gadgets)
+    assert oks == [True, True, True]
+
+
+def test_prove_batch_negative_element():
+    gadgets = "EQUALS W0 W1\n"
+    witnesses = ["W0 = 0x2a\nW1 = 0x2a\n", "W0 = 0x2a\nW1 = 0x2b\n"]
+    results = prove_batch("batch_eq", "", witnesses, gadgets)
+    oks = verify_batch("batch_eq", "",
+                       [(p, c) for p, _, c in results], gadgets)
+    assert oks == [True, False]
+
+
+def test_warm_image_cache_matches_host():
+    mimc._image_cache.clear()
+    data = [b"abc", b"x" * 40, b"abc"]
+    n = warm_image_cache(data)
+    assert n == 2                                  # deduplicated
+    cached = dict(mimc._image_cache)
+    mimc._image_cache.clear()
+    for b in set(data):
+        assert scalar_to_be(mimc.mimc_hash(b)) == scalar_to_be(cached[b])
+    mimc._image_cache.clear()
+
+
+@pytest.mark.slow
+def test_prove_batch_hash_uses_device_images():
+    """HASH statement batch: images come from the device kernel."""
+    mimc._image_cache.clear()
+    gadgets = "HASH W1 W0\n"
+    wit = []
+    for seed in (b"preimage-one!", b"another preimage value longer than 32b"):
+        img = scalar_to_be(mimc.mimc_hash(seed))
+        wit.append(f"W0 = 0x{seed.hex()}\nW1 = 0x{img.hex()}\n")
+    results = prove_batch("batch_hash", "", wit, gadgets)
+    assert mimc._image_cache                       # cache was seeded
+    oks = verify_batch("batch_hash", "",
+                       [(p, c) for p, _, c in results], gadgets)
+    assert oks == [True, True]
+    mimc._image_cache.clear()
