@@ -45,19 +45,12 @@ def _select(mask_lanes, a, b_cols):
 _IDENT_COLS = (_ID_X, _ID_Y, _ID_Y, _ID_X)
 
 
-import os as _os
-
-
 def _scan(x, seg: int):
-    """Segmented scan.  The blocked Pallas version (~3 HBM passes) is opt-in
-    via BPG_TPU_BLOCKED_SCAN=1 while the remote Mosaic compiles for large
-    shapes stabilize; default is the masked Hillis-Steele with the fused
-    padd kernel (validated across all statements on hardware)."""
-    m = x[0].shape[1]
-    if _os.environ.get("BPG_TPU_BLOCKED_SCAN") == "1":
-        from .pallas_scan import scan_segmented, CH
-        if m % CH == 0 and (seg % CH == 0 or CH % seg == 0):
-            return scan_segmented(x, seg)
+    """Segmented scan: masked Hillis-Steele with the fused padd kernel.
+    (The experimental blocked Pallas scan and its BPG_TPU_BLOCKED_SCAN
+    gate were removed once the serial-bucket path superseded this module
+    as the default backend — ops/msm_serial.py does O(n) additions, no
+    length-n scans.)"""
     return _masked_scan(x, seg, max(1, (seg - 1).bit_length()))
 
 
@@ -204,11 +197,9 @@ class GeneratorTable:
         self.N = len(G)
         assert len(H) == self.N
         self.m = 2 * self.N + 2
-        # pad lanes to a 512-multiple with identity points (zero digits) so
-        # the blocked Pallas scan's alignment constraints hold for segments
-        # of the full table width
-        from .pallas_scan import CH
-        self.mp = -(-self.m // CH) * CH
+        # pad lanes to a 512-multiple with identity points (zero digits)
+        # so full-table-width segments stay Pallas-block aligned
+        self.mp = -(-self.m // 512) * 512
         pad = [RistrettoPoint.identity()] * (self.mp - self.m)
         self.c = choose_c(self.mp)
         self.cols = to_cols(curve.points_to_device(

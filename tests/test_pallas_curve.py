@@ -56,21 +56,3 @@ def test_msm_cols_blocked_scan():
     pts = _pts(n)
     ks = [rnd.randrange(L) for _ in range(n)]
     assert msm_cols.msm(ks, pts) == msm_host(ks, pts)
-
-
-def test_scan_segmented_vs_host():
-    """Blocked Pallas scan vs host prefix sums, both segment regimes:
-    seg < CH (intra-block masking) and seg > CH (block-offset passes)."""
-    from bulletproof_gadgets_tpu.ops.pallas_scan import scan_segmented, CH
-    m = 2 * CH
-    pts = _pts(m)
-    cols = to_cols(curve.points_to_device(pts))
-    for seg in (CH // 2, 2 * CH):
-        got = curve.points_from_device(from_cols(scan_segmented(cols, seg)))
-        acc = RistrettoPoint.identity()
-        for i in range(m):
-            if i % seg == 0:
-                acc = RistrettoPoint.identity()
-            acc = acc + pts[i]
-            if i % 257 == 0 or i % seg in (0, seg - 1, CH - 1, CH):
-                assert got[i] == acc, (seg, i)
