@@ -52,31 +52,44 @@ def run_size(n, rnd, msm_serial, signed_digits, L, gens):
         f"-> {sink.hex()[:16]}...")
 
     iters = 5
-    digs = [np.asarray(signed_digits(scalars(), msm_serial.C))
+    digs = [jnp.asarray(np.ascontiguousarray(
+                signed_digits(scalars(), msm_serial.C).astype(np.int8).T))
             for _ in range(iters)]
-    # dispatch all launches before the readbacks: jax queues them on the
-    # device, so the per-launch host round trip (large over the dev tunnel)
-    # amortizes — matching how the prover overlaps schedule build with the
-    # previous launch
-    t0 = time.time()
-    pending = []
     for d in digs:
-        sched = msm_serial.build_schedule(d, n)
-        pending.append((msm_serial._msm_serial_device(
-            jnp.asarray(sched.idx), jnp.asarray(sched.segid),
-            jnp.asarray(sched.last_pos), src, sched.k, sched.merge_steps),
-            sched.k))
+        d.block_until_ready()
+    # The REAL prover path: digits live on device (flvec), the schedule is
+    # built there by sort+gather, and the only sync points are the [M+1]
+    # offsets readback and the result.  Two-phase pipelining amortizes both
+    # round trips over the batch.
+    t0 = time.time()
+    sorted_streams = [msm_serial._entries_sorted(d, d.shape[0], n)
+                      for d in digs]
+    plans = []
+    for d, (_, sv, coffs_dev) in zip(digs, sorted_streams):
+        coffs = np.asarray(coffs_dev).astype(np.int64)
+        counts = np.diff(coffs)
+        t, sub, offs, pool, p_pad = msm_serial._plan(counts, int(coffs[-1]))
+        segid, last_pos, steps = msm_serial._schedule_arrays(
+            sub, offs, pool, p_pad, d.shape[0] * msm_serial.NB)
+        plans.append(msm_serial.DeviceSchedule(
+            sv, coffs_dev, offs, segid, last_pos, steps,
+            d.shape[0] // msm_serial.W, t, p_pad))
+    pending = [(msm_serial._msm_serial_device_sorted(
+        s.sv, s.coffs, jnp.asarray(s.offs), jnp.asarray(s.segid),
+        jnp.asarray(s.last_pos), src, s.t, s.p, s.k, s.merge_steps, 2 * n),
+        s.k) for s in plans]
     pts = [msm_serial._points_from_cols(c, k) for c, k in pending]
     dt = (time.time() - t0) / iters
+    sched = plans[-1]
     last = pts[-1][0]
-    # HBM floor: the bucket stage gathers T*P source rows of 256 B and the
+    # HBM floor: the bucket stage gathers T*P source rows of 128 B and the
     # pool accumulators stay in VMEM; everything else is lower-order.
-    rows = sched.idx.shape[0] * sched.idx.shape[1]
-    floor = rows * 256 / (HBM_GBPS * 1e9)
+    rows = sched.t * sched.p
+    floor = rows * 128 / (HBM_GBPS * 1e9)
     rate = n / dt
     log(f"  n={n}: {dt*1e3:.1f} ms/MSM -> {rate:,.0f} mults/s "
         f"(HBM floor {floor*1e3:.2f} ms, {floor/dt*100:.0f}% of light) "
-        f"shape={sched.idx.shape} last={last.compress().hex()[:16]}")
+        f"shape=({sched.t}, {sched.p}) last={last.compress().hex()[:16]}")
 
     if n >= (1 << 15) and os.environ.get("BPG_BENCH_PREMUL", "1") == "1":
         rate = max(rate, run_premul(n, points, rnd, L, last))

@@ -156,7 +156,8 @@ def _msm_premul_device(idx, segid, last_pos, src, k: int, merge_steps: int):
     rc = _r_chunk(t_rounds)
     if rc == 1:
         rc = 8 if t_rounds % 8 == 0 else 1
-    g3 = g64.reshape(t_rounds, p, 64).transpose(0, 2, 1)
+    g3 = (g64.astype(jnp.int32)                      # int16 transpose is slow
+          .reshape(t_rounds, p, 64).transpose(0, 2, 1))
     g = (g3[:, 0:NL], g3[:, NL:2 * NL], g3[:, 2 * NL:3 * NL])
     spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
                         memory_space=pltpu.VMEM)
