@@ -52,47 +52,38 @@ def run_size(n, rnd, msm_serial, signed_digits, L, gens):
         f"-> {sink.hex()[:16]}...")
 
     iters = 5
+    wt = 32
     digs = [jnp.asarray(np.ascontiguousarray(
                 signed_digits(scalars(), msm_serial.C).astype(np.int8).T))
             for _ in range(iters)]
     for d in digs:
         d.block_until_ready()
-    # The REAL prover path: digits live on device (flvec), the schedule is
-    # built there by sort+gather, and the only sync points are the [M+1]
-    # offsets readback and the result.  Two-phase pipelining amortizes both
-    # round trips over the batch.
+    # The REAL prover path: digits live on device (flvec) and the whole
+    # schedule is built there inside the MSM jit (static shapes) — per MSM
+    # the host dispatches one executable and reads back one point; the
+    # dispatch-all-then-read-all order amortizes the round trip.
+    t, p, steps = msm_serial._static_plan(wt, n)
     t0 = time.time()
-    sorted_streams = [msm_serial._entries_sorted(d, d.shape[0], n)
-                      for d in digs]
-    plans = []
-    for d, (_, sv, coffs_dev) in zip(digs, sorted_streams):
-        coffs = np.asarray(coffs_dev).astype(np.int64)
-        counts = np.diff(coffs)
-        t, sub, offs, pool, p_pad = msm_serial._plan(counts, int(coffs[-1]))
-        segid, last_pos, steps = msm_serial._schedule_arrays(
-            sub, offs, pool, p_pad, d.shape[0] * msm_serial.NB)
-        plans.append(msm_serial.DeviceSchedule(
-            sv, coffs_dev, offs, segid, last_pos, steps,
-            d.shape[0] // msm_serial.W, t, p_pad))
-    pending = [(msm_serial._msm_serial_device_sorted(
-        s.sv, s.coffs, jnp.asarray(s.offs), jnp.asarray(s.segid),
-        jnp.asarray(s.last_pos), src, s.t, s.p, s.k, s.merge_steps, 2 * n),
-        s.k) for s in plans]
-    pts = [msm_serial._points_from_cols(c, k) for c, k in pending]
+    pending = [msm_serial._msm_serial_static(d, src, wt, n, t, p, 1, steps)
+               for d in digs]
+    pts = [msm_serial._points_from_cols(c, 1) for c in pending]
     dt = (time.time() - t0) / iters
-    sched = plans[-1]
     last = pts[-1][0]
     # HBM floor: the bucket stage gathers T*P source rows of 128 B and the
     # pool accumulators stay in VMEM; everything else is lower-order.
-    rows = sched.t * sched.p
-    floor = rows * 128 / (HBM_GBPS * 1e9)
+    floor = t * p * 128 / (HBM_GBPS * 1e9)
     rate = n / dt
     log(f"  n={n}: {dt*1e3:.1f} ms/MSM -> {rate:,.0f} mults/s "
         f"(HBM floor {floor*1e3:.2f} ms, {floor/dt*100:.0f}% of light) "
-        f"shape=({sched.t}, {sched.p}) last={last.compress().hex()[:16]}")
+        f"shape=({t}, {p}) last={last.compress().hex()[:16]}")
 
     if n >= (1 << 15) and os.environ.get("BPG_BENCH_PREMUL", "1") == "1":
-        rate = max(rate, run_premul(n, points, rnd, L, last))
+        from bulletproof_gadgets_tpu.ops import msm_premul
+        if os.path.exists(msm_premul._cache_path(points)):
+            rate = max(rate, run_premul(n, points, rnd, L, last))
+        else:
+            log(f"  n={n} premul: no cached table, skipping "
+                f"(build with scripts/build_premul_tables.py)")
     return rate
 
 

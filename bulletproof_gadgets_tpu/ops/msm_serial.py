@@ -242,6 +242,89 @@ def build_schedule_device(digits_t_dev, n: int) -> "DeviceSchedule":
                           wt // W, t, p_pad)
 
 
+# ---------------------------------------------------------------------------
+# static-shape fully-on-device scheduling — ZERO per-MSM plan readbacks
+#
+# The readback path above syncs on a [M+1] coffs transfer per MSM to size
+# (T, P).  Over a high-latency link (the axon tunnel has been measured
+# anywhere from 20 ms to ~1 s per round trip) that sync dominates the whole
+# MSM.  But (T, P) admits a HARD static bound from (wt, n) alone:
+#
+#   pool = sum_b ceil(count_b / T) <= m + total/T <= m + wt*n/T
+#
+# (every nonzero bucket wastes < 1 lane of rounding, and the count mass
+# itself packs into total/T lanes).  Fixing T by the usual mean + 3*sigma
+# rule and P by this bound lets the ENTIRE schedule — counts, per-bucket
+# lane offsets, segment ids, last-lane positions — be computed on device
+# inside the same jit as the bucket pipeline.  Per MSM the host uploads
+# digits (or they are already resident from flvec), dispatches ONE
+# executable, and reads back [4, NL, k] points: one blocking round trip.
+#
+# Cost: P is ~1.5-2x the dynamic plan's pool (the bound is tight only for
+# adversarial digit distributions such as the all-ones bit vectors of
+# range-proof circuits), so the bucket stage does up to 2x the additions.
+# That trades pure device compute for 3-4 eliminated round trips per MSM —
+# a win at 20 ms RT and a landslide at degraded-tunnel latencies; set
+# BPG_TPU_MSM_SCHED=readback to restore the dynamic-shape path.
+
+
+def _static_plan(wt: int, n: int):
+    """(T, P, merge_steps) from shape alone — valid for ANY digit values."""
+    m = wt * NB
+    total = wt * n
+    mean = max(1.0, total / m)
+    t = int(np.ceil(mean + 3.0 * np.sqrt(mean)))
+    t = -(-t // _ROUND_PAD) * _ROUND_PAD
+    while True:
+        pool_bound = m + -(-total // t)
+        p_pad = -(-(pool_bound + 1) // _LANE_PAD) * _LANE_PAD
+        if p_pad <= 49152 or t >= total:
+            break
+        t *= 2
+    # max bucket count is n (one window's digits all equal), so a bucket
+    # splits over at most ceil(n/T) lanes.
+    steps = max(0, int(-(-n // t) - 1).bit_length())
+    return t, p_pad, steps
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
+                       p: int, k: int, merge_steps: int):
+    """Digits -> points in ONE device program: sort, schedule, bucket
+    pipeline.  No host planning, no data-dependent shapes."""
+    m = wt * NB
+    _, sv, coffs = _entries_sorted(digits_t, wt, n)
+    counts = coffs[1:] - coffs[:-1]                     # [m]
+    sub = (counts + (t_rounds - 1)) // t_rounds         # ceil, 0 for empty
+    csum = jnp.cumsum(sub)
+    pool = csum[-1]
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
+    lanes = jnp.arange(p, dtype=jnp.int32)
+    # lane l belongs to bucket b iff offs[b] <= l < offs[b] + sub[b];
+    # lanes >= pool get unique out-of-range ids so the merge never joins
+    # them (they hold identity accumulators).
+    bucket = jnp.searchsorted(csum, lanes, side="right",
+                              method="scan_unrolled").astype(jnp.int32)
+    segid = jnp.where(lanes < pool, bucket, m + lanes - pool)
+    last = offs + jnp.maximum(sub, 1) - 1
+    last_pos = jnp.where(sub > 0, last, pool).astype(jnp.int32)
+    q = jnp.clip(segid, 0, m - 1)
+    base0 = coffs[q] + (lanes - offs[q]) * t_rounds
+    end = coffs[q + 1]
+    rank = base0[None, :] + jnp.arange(t_rounds, dtype=jnp.int32)[:, None]
+    valid = (segid[None, :] < m) & (rank < end[None, :])
+    picked = jnp.take(sv, jnp.clip(rank, 0, sv.shape[0] - 1).reshape(-1))
+    idx = jnp.where(valid, picked.reshape(t_rounds, p), 2 * n)
+    return _pipeline(idx, segid, last_pos, src, k, merge_steps)
+
+
+def _launch_static(digits_t_dev, src, n: int):
+    wt = digits_t_dev.shape[0]
+    t, p, steps = _static_plan(wt, n)
+    cols = _msm_serial_static(digits_t_dev, src, wt, n, t, p, wt // W, steps)
+    return _points_from_cols(cols, wt // W)
+
+
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _msm_serial_device_sorted(sv, coffs, offs, segid, last_pos, src,
                               t_rounds: int, p: int, k: int,
@@ -523,16 +606,27 @@ def msm_many(vectors, src, n: int):
     digit_blocks = [signed_digits([v % L for v in vec], C)
                     for vec in vectors]
     digits = np.concatenate(digit_blocks, axis=1)       # [n, k*W]
+    if os.environ.get("BPG_TPU_MSM_SCHED", "static") == "static":
+        return _launch_static(
+            jnp.asarray(np.ascontiguousarray(digits.T, dtype=np.int8)),
+            src, n)
     return _launch(build_schedule(digits, n), src)
 
 
 def msm_many_digits_t(digits_t, src, n: int):
     """Window-major digit path: digits_t [k*W, n] int8, either a DEVICE
-    array (kept resident: sorted schedule built on device, one [M+1]
-    readback) or host numpy (C scheduler + idx upload)."""
+    array (kept resident: static-shape schedule built on device inside the
+    MSM jit — zero plan readbacks; BPG_TPU_MSM_SCHED=readback restores the
+    dynamic-shape [M+1]-readback path) or host numpy (C scheduler + idx
+    upload)."""
     if isinstance(digits_t, jnp.ndarray) and not isinstance(
             digits_t, np.ndarray):
-        return _launch_device(build_schedule_device(digits_t, n), src, n)
+        if os.environ.get("BPG_TPU_MSM_SCHED", "static") == "readback":
+            return _launch_device(build_schedule_device(digits_t, n), src, n)
+        return _launch_static(digits_t, src, n)
+    if os.environ.get("BPG_TPU_MSM_SCHED", "static") == "static":
+        return _launch_static(jnp.asarray(
+            np.ascontiguousarray(digits_t, dtype=np.int8)), src, n)
     return _launch(build_schedule_t(digits_t, n), src)
 
 
