@@ -32,6 +32,20 @@ def set_table_factory(factory) -> None:
     _table_factory = factory
 
 
+_table_min_size = None
+
+
+def set_table_min_size(n) -> None:
+    """Override the size threshold for device generator TABLES only (the
+    A_I/A_O/S, IPA L/R and verifier mega-MSM path), leaving the generic
+    msm() threshold alone.  Used by the multichip dryrun to route a tiny
+    parity circuit through the sharded device pipeline without also sending
+    every 2-point Pedersen commitment to the device.  None = follow the
+    backend threshold."""
+    global _table_min_size
+    _table_min_size = n
+
+
 class _HostTable:
     """Correctness-oracle table: plain per-vector host Pippenger."""
 
@@ -47,7 +61,9 @@ class _HostTable:
 def generator_table(G, H, B, B_blinding):
     """Prover MSM table over [G | H | B | B_blinding] (device-resident when
     the TPU engine is registered and the size clears its threshold)."""
-    if _table_factory is not None and (2 * len(G) + 2) >= _BACKEND_MIN_SIZE:
+    min_size = (_table_min_size if _table_min_size is not None
+                else _BACKEND_MIN_SIZE)
+    if _table_factory is not None and (2 * len(G) + 2) >= min_size:
         return _table_factory(G, H, B, B_blinding)
     return _HostTable(G, H, B, B_blinding)
 

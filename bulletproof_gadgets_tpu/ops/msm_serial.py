@@ -440,8 +440,10 @@ def _horner_kernel(bias, d2, wx, wy, wz, wt, ox, oy, oz, ot):
     @pl.when(i > 0)
     def _():
         acc = (ox[:], oy[:], oz[:], ot[:])
-        for _ in range(C):
-            acc = _padd_body(bias[:], d2[:], *acc, *acc)
+        # fori_loop (not a Python unroll): 8 inlined padd bodies per grid
+        # step blow up both Mosaic and interpret-mode compile times.
+        acc = jax.lax.fori_loop(
+            0, C, lambda _, a: _padd_body(bias[:], d2[:], *a, *a), acc)
         acc = _padd_body(bias[:], d2[:], *acc, wx[0], wy[0], wz[0], wt[0])
         ox[:], oy[:], oz[:], ot[:] = acc
 

@@ -44,6 +44,35 @@ def _tree_combine(points_stack):
     return tuple(x[0] for x in points_stack)
 
 
+_fn_cache = {}
+
+
+def _sharded_fn(mesh, c: int):
+    """Jitted shard_map window-sum body, cached per (mesh, c): without jit,
+    shard_map re-traces and eagerly interprets every call (see
+    parallel/sharded_serial.ShardedGeneratorTable._sharded_fn)."""
+    key = (id(mesh), c)
+    fn = _fn_cache.get(key)
+    if fn is None:
+        digit_spec = P("shard", None)
+        point_spec = P(None, "shard")
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(digit_spec, (point_spec,) * 4),
+                 out_specs=(P(None, None),) * 4,
+                 check_rep=False)
+        def f(d, pts):
+            local = msm_cols._window_sums_cols(d, pts, c)   # [W, NL] rows
+            gathered = jax.lax.all_gather(local, "shard")  # [n_shard, W, NL]
+            return _tree_combine(gathered)
+
+        fn = jax.jit(f)
+        if len(_fn_cache) > 8:
+            _fn_cache.pop(next(iter(_fn_cache)))
+        _fn_cache[key] = fn
+    return fn
+
+
 def sharded_window_sums(mesh, digits, points_dev, c: int):
     """digits: [n, windows] (replicated or host numpy); points_dev: pytree of
     [n, NL] device arrays.  n must divide evenly by the shard axis size.
@@ -55,16 +84,7 @@ def sharded_window_sums(mesh, digits, points_dev, c: int):
 
     digit_spec = P("shard", None)
     point_spec = P(None, "shard")     # cols layout: lanes are sharded
-    out_spec = P(None, None)
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(digit_spec, (point_spec,) * 4),
-             out_specs=(out_spec,) * 4,
-             check_rep=False)
-    def f(d, pts):
-        local = msm_cols._window_sums_cols(d, pts, c)   # [W, NL] rows
-        gathered = jax.lax.all_gather(local, "shard")   # [n_shard, W, NL]
-        return _tree_combine(gathered)
+    f = _sharded_fn(mesh, c)
 
     digits = jax.device_put(
         jnp.asarray(digits), NamedSharding(mesh, digit_spec))

@@ -73,6 +73,7 @@ class ShardedGeneratorTable:
 
     def __init__(self, mesh, G, H, B, B_blinding):
         self.mesh = mesh
+        self._fns = {}
         self.N = len(G)
         assert len(H) == self.N
         self.m = 2 * self.N + 2
@@ -112,6 +113,44 @@ class ShardedGeneratorTable:
         return scheds, merge_steps
 
     # -- execution ----------------------------------------------------------
+    def _sharded_fn(self, k: int, merge_steps: int):
+        """Jitted shard_map body, cached per (k, merge_steps): without the
+        jit wrapper, shard_map dispatches through its eager impl path and
+        RE-TRACES + interprets the whole pipeline on every call (~40 s per
+        MSM on the 8-device CPU mesh, warm == cold — the round-2 dryrun
+        timeout's root cause).  jit compiles once per input shape."""
+        key = (k, merge_steps)
+        fn = self._fns.get(key)
+        if fn is None:
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(P("shard", None, None), P("shard", None),
+                               P("shard", None), P("shard", None, None)),
+                     out_specs=P(None, None, None),
+                     check_rep=False)
+            def f(idx_l, segid_l, lastp_l, src_l):
+                ws = _window_sums_part(idx_l[0], segid_l[0], lastp_l[0],
+                                       src_l[0], k, merge_steps)
+                stacked = jnp.stack(ws)                       # [4, NL, kW]
+                gathered = jax.lax.all_gather(stacked, "shard")  # [D, 4, …]
+                parts = tuple(gathered[:, i] for i in range(4))
+                total = _combine_ws(parts)
+                return jnp.stack(total)                       # [4, NL, kW]
+
+            # Horner runs OUTSIDE the shard_map in its own jit: it is
+            # k-dependent only, so it compiles once per k instead of once
+            # per (k, merge_steps) schedule shape.
+            fn = (jax.jit(f), self._horner_fn(k))
+            self._fns[key] = fn
+        return fn
+
+    def _horner_fn(self, k: int):
+        fn = self._fns.get(("horner", k))
+        if fn is None:
+            fn = jax.jit(
+                lambda tot: _horner_part(tuple(tot[i] for i in range(4)), k))
+            self._fns[("horner", k)] = fn
+        return fn
+
     def _run(self, scheds, merge_steps: int):
         k = scheds[0].k
         mesh = self.mesh
@@ -124,22 +163,8 @@ class ShardedGeneratorTable:
         lastp = jax.device_put(
             jnp.stack([jnp.asarray(s.last_pos) for s in scheds]),
             NamedSharding(mesh, P("shard", None)))
-
-        @partial(shard_map, mesh=mesh,
-                 in_specs=(P("shard", None, None), P("shard", None),
-                           P("shard", None), P("shard", None, None)),
-                 out_specs=P(None, None, None),
-                 check_rep=False)
-        def f(idx_l, segid_l, lastp_l, src_l):
-            ws = _window_sums_part(idx_l[0], segid_l[0], lastp_l[0],
-                                   src_l[0], k, merge_steps)
-            stacked = jnp.stack(ws)                       # [4, NL, kW]
-            gathered = jax.lax.all_gather(stacked, "shard")  # [D, 4, ...]
-            parts = tuple(gathered[:, i] for i in range(4))
-            total = _combine_ws(parts)
-            return _horner_part(total, k)
-
-        cols = f(idx, segid, lastp, self.src_sharded)
+        ws_fn, horner_fn = self._sharded_fn(k, merge_steps)
+        cols = horner_fn(ws_fn(idx, segid, lastp, self.src_sharded))
         return _points_from_cols(cols, k)
 
     # -- public API (GeneratorTable-compatible) ------------------------------
