@@ -11,6 +11,13 @@ Measures the serial-bucket Pippenger path (ops/msm_serial.py) — the
 default backend — over a size sweep; the headline number is the best
 throughput in the sweep.  Per-size rates and a speed-of-light fraction
 (vs the HBM-traffic floor of the bucket stage) go to stderr.
+
+BPG_TPU_MSM_SCHED=readback times the dynamic-shape readback scheduler
+instead of the default static path (useful on a low-latency link; the
+axon tunnel's multi-second round trips make static the right default).
+BPG_BENCH_PREMUL=1 re-enables the premultiplied c=16 path, which
+round-2 measurements showed 3.5x SLOWER than the plain c=8 kernel at
+n=2^16 (bucket-occupancy slack dominates); it is excluded by default.
 """
 import json
 import os
@@ -35,7 +42,7 @@ def run_size(n, rnd, msm_serial, signed_digits, L, gens):
     points = gens.G(half) + gens.H(half)
     t0 = time.time()
     src, _ = msm_serial.prep_source(points)
-    src.block_until_ready()
+    np.asarray(src[0])
     log(f"  n={n}: source prep+upload {time.time() - t0:.1f}s")
 
     def scalars():
@@ -43,41 +50,62 @@ def run_size(n, rnd, msm_serial, signed_digits, L, gens):
         return [int(sum(int(raw[i, j]) << (62 * j) for j in range(5))) % L
                 for i in range(n)]
 
-    # warmup / compile (fresh digits so the schedule shape is typical)
-    ks = scalars()
-    t0 = time.time()
-    r = msm_serial.msm_many([ks], src, n)[0]
-    sink = r.compress()
-    log(f"  n={n}: compile+first run {time.time() - t0:.1f}s "
-        f"-> {sink.hex()[:16]}...")
-
-    iters = 5
+    mode = os.environ.get("BPG_TPU_MSM_SCHED", "static")
     wt = 32
+    iters = 5
     digs = [jnp.asarray(np.ascontiguousarray(
                 signed_digits(scalars(), msm_serial.C).astype(np.int8).T))
             for _ in range(iters)]
     for d in digs:
-        d.block_until_ready()
-    # The REAL prover path: digits live on device (flvec) and the whole
-    # schedule is built there inside the MSM jit (static shapes) — per MSM
-    # the host dispatches one executable and reads back one point; the
-    # dispatch-all-then-read-all order amortizes the round trip.
-    t, p, steps = msm_serial._static_plan(wt, n)
-    t0 = time.time()
-    pending = [msm_serial._msm_serial_static(d, src, wt, n, t, p, 1, steps)
-               for d in digs]
-    pts = [msm_serial._points_from_cols(c, 1) for c in pending]
-    dt = (time.time() - t0) / iters
-    last = pts[-1][0]
-    # HBM floor: the bucket stage gathers T*P source rows of 128 B and the
-    # pool accumulators stay in VMEM; everything else is lower-order.
-    floor = t * p * 128 / (HBM_GBPS * 1e9)
+        np.asarray(d[0, :4])
+
+    if mode == "readback":
+        # dynamic-shape path: per-MSM [M+1] offsets readback sizes (T, P)
+        t0 = time.time()
+        r = msm_serial.msm_many_digits_t(digs[0], src, n)[0]
+        sink = r.compress()
+        log(f"  n={n}: compile+first run {time.time() - t0:.1f}s "
+            f"-> {sink.hex()[:16]}... (readback sched)")
+        t0 = time.time()
+        pts = [msm_serial.msm_many_digits_t(d, src, n) for d in digs]
+        dt = (time.time() - t0) / iters
+        last = pts[-1][0]
+        t, p = 0, 0
+        floor = 0.0
+    else:
+        # The REAL prover path: digits live on device (flvec) and the whole
+        # schedule is built there inside the MSM jit (static shapes) — per
+        # MSM the host dispatches one executable and reads back one point;
+        # the dispatch-all-then-read-all order amortizes the round trip.
+        t, p, steps = msm_serial._static_plan(wt, n)
+        t0 = time.time()
+        arr0 = np.asarray(msm_serial._msm_serial_static(
+            digs[0], src, wt, n, t, p, 1, steps))
+        last = msm_serial._points_from_cols(arr0[:, :, :1], 1)[0]
+        log(f"  n={n}: compile+first run {time.time() - t0:.1f}s "
+            f"-> {last.compress().hex()[:16]}...")
+        t0 = time.time()
+        pending = [msm_serial._msm_serial_static(d, src, wt, n, t, p, 1,
+                                                 steps)
+                   for d in digs]
+        arrs = [np.asarray(c) for c in pending]
+        dt = (time.time() - t0) / iters
+        overflows = sum(int(a[0, 0, 1]) >= p for a in arrs)
+        if overflows:
+            log(f"  n={n}: WARNING {overflows}/{iters} tight-plan "
+                "overflows — rates below exclude the safe-shape rerun")
+        last = msm_serial._points_from_cols(arrs[-1][:, :, :1], 1)[0]
+        # HBM floor: the bucket stage gathers T*P source rows of 128 B and
+        # the pool accumulators stay in VMEM; everything else is
+        # lower-order.
+        floor = t * p * 128 / (HBM_GBPS * 1e9)
     rate = n / dt
     log(f"  n={n}: {dt*1e3:.1f} ms/MSM -> {rate:,.0f} mults/s "
         f"(HBM floor {floor*1e3:.2f} ms, {floor/dt*100:.0f}% of light) "
         f"shape=({t}, {p}) last={last.compress().hex()[:16]}")
 
-    if n >= (1 << 15) and os.environ.get("BPG_BENCH_PREMUL", "1") == "1":
+    if (n >= (1 << 15) and mode != "readback"
+            and os.environ.get("BPG_BENCH_PREMUL", "0") == "1"):
         from bulletproof_gadgets_tpu.ops import msm_premul
         if os.path.exists(msm_premul._cache_path(points)):
             rate = max(rate, run_premul(n, points, rnd, L, last))
@@ -136,7 +164,7 @@ def main():
     from bulletproof_gadgets_tpu.ops.msm import signed_digits
 
     sizes = ([int(a) for a in sys.argv[1:]]
-             or [1 << k for k in (12, 14, 16, 17)])
+             or [1 << k for k in (14, 16, 17, 18)])
     log(f"backend={jax.default_backend()} sizes={sizes}")
     gens = BulletproofGens(max(sizes) // 2)
     rnd = np.random.default_rng(42)

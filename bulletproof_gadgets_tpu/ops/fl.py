@@ -53,7 +53,7 @@ def from_limbs(arr) -> list:
     for row in flat:
         v = 0
         for j in range(NW - 1, -1, -1):
-            v = (v << B) | int(row[j])
+            v = (v << B) + int(row[j])  # + not |: tolerate lazy limbs >= 2^B
         out.append(v % L)
     return out
 

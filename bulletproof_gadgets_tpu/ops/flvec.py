@@ -101,7 +101,7 @@ def limbs_to_ints(arr) -> list:
     for row in a.reshape(-1, NW):
         v = 0
         for j in range(NW - 1, -1, -1):
-            v = (v << B) | int(row[j])
+            v = (v << B) + int(row[j])  # + not |: tolerate lazy limbs >= 2^B
         out.append(v % L)
     return out
 

@@ -85,7 +85,9 @@ def from_limbs(arr) -> list:
     for row in flat:
         v = 0
         for j in range(NL - 1, -1, -1):
-            v = (v << B) | int(row[j])
+            # addition, not OR: lazily-reduced limbs may exceed 2^B
+            # (invariant bound 8799 — see pallas_curve._finalize)
+            v = (v << B) + int(row[j])
         out.append(v % P)
     return out
 

@@ -63,6 +63,32 @@ _2D = 2 * _D % _P
 
 _ROUND_PAD = 32           # rounds padded to a multiple (bounds jit shapes)
 _LANE_PAD = 4096          # pool lanes padded to a multiple of the kernel block
+_LANE_PAD_TIGHT = 1024    # finer padding for the tight static plan
+_POOL_CAP = 49152         # VMEM pool-width cap (lanes)
+
+
+def _select_t(total: int, m: int, pool_of_t, lane_pad: int):
+    """Round budget T (mean + 3*sigma heuristic, padded, doubled while the
+    padded pool exceeds the VMEM cap) and the resulting padded pool width.
+    pool_of_t(t) -> unpadded pool size for a candidate T.  Shared by the
+    dynamic (_plan) and static (_static_plan) planners so the two cannot
+    drift (advisor r2)."""
+    mean = max(1.0, total / m)
+    t = int(np.ceil(mean + 3.0 * np.sqrt(mean)))
+    t = -(-t // _ROUND_PAD) * _ROUND_PAD
+    while True:
+        pool = pool_of_t(t)
+        p_pad = -(-(pool + 1) // lane_pad) * lane_pad
+        if p_pad <= _POOL_CAP or t >= total:
+            break
+        t *= 2
+    if p_pad > _POOL_CAP:
+        import warnings
+        warnings.warn(
+            f"MSM schedule pool {p_pad} exceeds the VMEM lane cap "
+            f"{_POOL_CAP} even at T={t} (total={total}, m={m}); the kernel "
+            "will compile but with a degenerate round count", stacklevel=3)
+    return t, p_pad
 
 
 class Schedule:
@@ -90,16 +116,10 @@ def _plan(counts: np.ndarray, total: int,
         assert pool + 1 <= p_pad, (pool, p_pad)
         offs = np.concatenate([[0], np.cumsum(sub)[:-1]]).astype(np.int32)
         return t, sub, offs, pool, p_pad
-    mean = max(1.0, total / m)
-    t = int(np.ceil(mean + 3.0 * np.sqrt(mean)))
-    t = -(-t // _ROUND_PAD) * _ROUND_PAD
-    while True:
-        sub = -(-counts // t)                  # ceil(c/T), 0 for empty
-        pool = int(sub.sum())
-        p_pad = -(-(pool + 1) // _LANE_PAD) * _LANE_PAD
-        if p_pad <= 49152 or t >= total:       # VMEM pool-width cap
-            break
-        t *= 2
+    t, p_pad = _select_t(total, m,
+                         lambda tt: int((-(-counts // tt)).sum()), _LANE_PAD)
+    sub = -(-counts // t)                      # ceil(c/T), 0 for empty
+    pool = int(sub.sum())
     offs = np.concatenate([[0], np.cumsum(sub)[:-1]]).astype(np.int32)
     return t, sub, offs, pool, p_pad
 
@@ -212,6 +232,39 @@ class DeviceSchedule:
 
 
 @partial(jax.jit, static_argnums=(1, 2))
+def _entries_sorted_packed(digits_t, wt: int, n: int):
+    """Packed per-window variant of _entries_sorted for the static path.
+
+    The flat pair-sort of wt*n (key, src) int32 pairs was 42% of the whole
+    static pipeline at n=2^16 (45.8 ms of 108).  Per window the bucket key
+    fits in 8 bits and the signed source index in (2n).bit_length() bits, so
+    one int32 carries both: a single-operand batched sort over [wt, n] rows
+    moves half the bytes of the pair sort.  Zero digits pack with key NB and
+    sort to the tail of their own window's row (not globally), so the bucket
+    boundary layout changes: returns explicit per-bucket (starts, ends)
+    instead of a shared [m+1] boundary vector.
+
+    Returns (starts [m], ends [m], sv [wt*n]) — all device, window-major."""
+    d = digits_t.astype(jnp.int32)
+    a = jnp.abs(d)
+    sbits = max(1, (2 * n).bit_length())
+    assert NB << sbits < (1 << 31), (n, sbits)
+    key8 = jnp.where(a > 0, a - 1, NB)                  # [wt, n]
+    i = jnp.arange(n, dtype=jnp.int32)[None, :]
+    srci = jnp.where(d < 0, i + n, i)
+    packed = (key8 << sbits) | srci
+    (ps,) = jax.lax.sort((packed,), dimension=1)
+    sv = (ps & ((1 << sbits) - 1)).reshape(-1)
+    bounds = (jnp.arange(NB + 1, dtype=jnp.int32) << sbits)
+    loc = jax.vmap(lambda row: jnp.searchsorted(
+        row, bounds, side="left", method="scan_unrolled"))(ps)  # [wt, NB+1]
+    base = (jnp.arange(wt, dtype=jnp.int32) * n)[:, None]
+    starts = (base + loc[:, :NB]).reshape(-1).astype(jnp.int32)
+    ends = (base + loc[:, 1:]).reshape(-1).astype(jnp.int32)
+    return starts, ends, sv
+
+
+@partial(jax.jit, static_argnums=(1, 2))
 def _entries_sorted(digits_t, wt: int, n: int):
     """digits_t [wt, n] int8 (device) -> sorted (lane keys, sources) and
     bucket cumulative offsets coffs [wt*NB + 1]."""
@@ -268,19 +321,30 @@ def build_schedule_device(digits_t_dev, n: int) -> "DeviceSchedule":
 # BPG_TPU_MSM_SCHED=readback to restore the dynamic-shape path.
 
 
-def _static_plan(wt: int, n: int):
-    """(T, P, merge_steps) from shape alone — valid for ANY digit values."""
+def _static_plan(wt: int, n: int, safe: bool = False):
+    """(T, P, merge_steps) from shape alone.
+
+    safe=False (default): TIGHT pool bound max(m, total/T) + slack.  The
+    hard worst case (m + total/T — every bucket nonzero AND heavy
+    concentration) costs ~2x the typical pool (BENCH_r02: shape (608, 8192)
+    vs the dynamic plan's (608, 4096), i.e. ~2x the bucket additions), but
+    the two regimes that real digit streams occupy — near-uniform (pool ~
+    m) and bit-vector concentration (pool ~ total/T) — both fit the tight
+    bound.  The kernel reports its actual pool in the result (one extra
+    output column, no extra round trip); on the rare overflow the caller
+    re-runs on the safe shape (_launch_static).
+
+    safe=True: the r2 bound m + total/T, valid for ANY digit values."""
     m = wt * NB
     total = wt * n
-    mean = max(1.0, total / m)
-    t = int(np.ceil(mean + 3.0 * np.sqrt(mean)))
-    t = -(-t // _ROUND_PAD) * _ROUND_PAD
-    while True:
-        pool_bound = m + -(-total // t)
-        p_pad = -(-(pool_bound + 1) // _LANE_PAD) * _LANE_PAD
-        if p_pad <= 49152 or t >= total:
-            break
-        t *= 2
+    if safe:
+        t, p_pad = _select_t(total, m, lambda tt: m + -(-total // tt),
+                             _LANE_PAD)
+    else:
+        slack = 512 + (m >> 4)
+        t, p_pad = _select_t(
+            total, m, lambda tt: max(m, -(-total // tt)) + slack,
+            _LANE_PAD_TIGHT)
     # max bucket count is n (one window's digits all equal), so a bucket
     # splits over at most ceil(n/T) lanes.
     steps = max(0, int(-(-n // t) - 1).bit_length())
@@ -291,10 +355,15 @@ def _static_plan(wt: int, n: int):
 def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
                        p: int, k: int, merge_steps: int):
     """Digits -> points in ONE device program: sort, schedule, bucket
-    pipeline.  No host planning, no data-dependent shapes."""
+    pipeline.  No host planning, no data-dependent shapes.
+
+    Returns [4, NL, k+1]: the first k columns are the extended points, the
+    extra column carries the actual pool size in limb (0, 0) so the host
+    can detect tight-plan overflow from the SAME readback (zero extra round
+    trips; see _static_plan/_launch_static)."""
     m = wt * NB
-    _, sv, coffs = _entries_sorted(digits_t, wt, n)
-    counts = coffs[1:] - coffs[:-1]                     # [m]
+    starts, ends, sv = _entries_sorted_packed(digits_t, wt, n)
+    counts = ends - starts                              # [m]
     sub = (counts + (t_rounds - 1)) // t_rounds         # ceil, 0 for empty
     csum = jnp.cumsum(sub)
     pool = csum[-1]
@@ -309,20 +378,40 @@ def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
     last = offs + jnp.maximum(sub, 1) - 1
     last_pos = jnp.where(sub > 0, last, pool).astype(jnp.int32)
     q = jnp.clip(segid, 0, m - 1)
-    base0 = coffs[q] + (lanes - offs[q]) * t_rounds
-    end = coffs[q + 1]
+    base0 = starts[q] + (lanes - offs[q]) * t_rounds
+    end = ends[q]
+    # Lane l's schedule entries are sv[base0[l] : base0[l]+T] — CONSECUTIVE
+    # runs of the sorted stream, so the big gather is P contiguous T-slices
+    # (vmapped dynamic_slice), not T*P random scalar reads (the scalar-
+    # gather formulation measured 42 ms of a 101 ms MSM at n=2^17).  sv is
+    # padded with T identity entries so no slice ever clamps (clamping
+    # would shift a tail bucket's start and misalign its valid prefix).
+    sv_pad = jnp.concatenate(
+        [sv, jnp.full((t_rounds,), 2 * n, jnp.int32)])
+    base0c = jnp.clip(base0, 0, sv.shape[0])
+    picked = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sv_pad, (s,), (t_rounds,)))(base0c)
     rank = base0[None, :] + jnp.arange(t_rounds, dtype=jnp.int32)[:, None]
     valid = (segid[None, :] < m) & (rank < end[None, :])
-    picked = jnp.take(sv, jnp.clip(rank, 0, sv.shape[0] - 1).reshape(-1))
-    idx = jnp.where(valid, picked.reshape(t_rounds, p), 2 * n)
-    return _pipeline(idx, segid, last_pos, src, k, merge_steps)
+    idx = jnp.where(valid, picked.T, 2 * n)
+    cols = _pipeline(idx, segid, last_pos, src, k, merge_steps)
+    extra = jnp.zeros((4, NL, 1), jnp.int32).at[0, 0, 0].set(pool)
+    return jnp.concatenate([cols, extra], axis=2)
 
 
 def _launch_static(digits_t_dev, src, n: int):
+    """Tight static plan first; on pool overflow (rare — adversarial digit
+    mixes only) re-run on the r2 safe-bound shape, compiled lazily."""
     wt = digits_t_dev.shape[0]
+    k = wt // W
     t, p, steps = _static_plan(wt, n)
-    cols = _msm_serial_static(digits_t_dev, src, wt, n, t, p, wt // W, steps)
-    return _points_from_cols(cols, wt // W)
+    arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n, t, p,
+                                        k, steps))
+    if int(arr[0, 0, k]) >= p:                         # tight pool overflow
+        t, p, steps = _static_plan(wt, n, safe=True)
+        arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n, t, p,
+                                            k, steps))
+    return _points_from_cols(arr[:, :, :k], k)
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
@@ -471,6 +560,17 @@ def _seg_scan(x, segid, steps: int):
 _BLK = 4096               # bucket-kernel lane block (~3.2 MB VMEM)
 
 
+def _blk_for(p: int) -> int:
+    """Largest lane block <= _BLK dividing p (p is a multiple of
+    _LANE_PAD_TIGHT by construction; 1024 always divides)."""
+    if p <= _BLK:
+        return p
+    for b in (4096, 3072, 2048, 1024):
+        if p % b == 0:
+            return b
+    raise AssertionError(f"pool width {p} not a multiple of 1024")
+
+
 def _r_chunk(t_rounds: int) -> int:
     """Rounds folded into one grid step (amortizes per-step overhead; the
     in-spec block grows to [NL, rc, blk] ≈ rc * 0.33 MB per coordinate).
@@ -508,7 +608,7 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int):
 
     bias = jnp.asarray(_SUB_BIAS_COL)
     d2 = jnp.asarray(_D2_COL)
-    blk = min(p, _BLK)
+    blk = _blk_for(p)
     nb = p // blk
     rc = _r_chunk(t_rounds)
     if rc == 1:

@@ -30,7 +30,26 @@ B = fp.B
 MASK = fp.MASK
 FOLD = fp.FOLD
 
-_SUB_BIAS_COL = fp._SUB_BIAS.reshape(NL, 1)      # [NL, 1]
+def _make_wide_bias() -> np.ndarray:
+    """Kernel subtraction bias: 64*p decomposed with every limb in
+    [2^14 - 2, 2^14 + 2^13): large enough to dominate any lite-finalized
+    limb (invariant bound 8799, see _finalize) so x + bias - y never goes
+    negative per limb, small enough that sums stay _wred-safe.  Telescoping
+    construction: adding 2^14 at limb i is repaid by subtracting 2 at limb
+    i+1 (2^14 / 2^13), so the value stays exactly 64*p."""
+    Kp = 64 * fp.P
+    canon = [(Kp >> (B * i)) & MASK for i in range(NL - 1)]
+    top = Kp >> (B * (NL - 1))
+    h, br = 1 << 14, (1 << 14) >> B
+    c = ([canon[0] + h]
+         + [canon[i] + h - br for i in range(1, NL - 1)]
+         + [top - br])
+    assert sum(ci << (B * i) for i, ci in enumerate(c)) == Kp
+    assert all(8800 <= ci < (1 << 15) for ci in c), c
+    return np.array(c, dtype=np.int32)
+
+
+_SUB_BIAS_COL = _make_wide_bias().reshape(NL, 1)  # [NL, 1] kernel bias
 _D2_COL = _D2_LIMBS.reshape(NL, 1)
 
 BLOCK = 512
@@ -73,21 +92,35 @@ def _fold(cols):
     return lo + hi * FOLD
 
 
+def _wred(x, rounds: int):
+    """Wrap-around carry passes on exactly-[NL, n] columns: the carry out of
+    limb 19 weighs 2^260 ≡ FOLD (mod p), so it re-enters at limb 0 times
+    FOLD.  Width never grows — unlike _redistribute+_fold there is no wide
+    fold multiply to re-inflate limbs, so two passes pin the worst case at
+    8192 + 607 = 8799 for any input with limbs < 2^15 (bound propagation:
+    tests/test_pallas_curve.py::test_lazy_reduction_bounds)."""
+    for _ in range(rounds):
+        lo = x & MASK
+        hi = x >> B
+        x = lo + jnp.concatenate([hi[-1:] * FOLD, hi[:-1]], axis=0)
+    return x
+
+
 def _finalize(cols):
+    """Lite reduction of schoolbook columns (|col| < 2^31, width 2*NL-1):
+    3 carry passes make every limb (incl. the fold tail) small enough for
+    one wide fold, then 2 wrap passes pin the 8799 invariant.  Replaces the
+    r2 four-round redistribute/fold ladder — ~30% fewer reduction ops per
+    field mul, worst-case output bound unchanged (8799)."""
     cols = _redistribute(cols, 3)
     cols = _fold(cols)
-    cols = _redistribute(cols, 2)
-    cols = _fold(cols)
-    cols = _redistribute(cols, 2)
-    cols = _fold(cols)
-    cols = _redistribute(cols, 1)
-    cols = _fold(cols)
-    return cols
+    return _wred(cols, 2)
 
 
 def _lazy(cols):
-    cols = _redistribute(cols, 2)
-    return _fold(cols)[:NL]
+    """Normalize width-NL sums/biased-differences (limbs < 2^15 + 2^14) to
+    the 8799 invariant.  Input width must be exactly NL."""
+    return _wred(cols, 2)
 
 
 def _mul(a, b):
