@@ -40,6 +40,22 @@ class InnerProductProof:
     @staticmethod
     def create(transcript, Q: RistrettoPoint, G_factors, H_factors,
                G, H, a, b, table=None, w=None) -> "InnerProductProof":
+        """Drives create_gen against the table directly (single proof)."""
+        gen = InnerProductProof.create_gen(
+            transcript, Q, G_factors, H_factors, G, H, a, b,
+            table=table, w=w)
+        resp = None
+        while True:
+            try:
+                kind, tbl, dig = gen.send(resp)
+            except StopIteration as stop:
+                return stop.value
+            assert kind == "msm"
+            resp = tbl.msm_digits(dig)
+
+    @staticmethod
+    def create_gen(transcript, Q: RistrettoPoint, G_factors, H_factors,
+                   G, H, a, b, table=None, w=None):
         """Equivalent to InnerProductProof::create (inner_product_proof.rs):
         same transcript ops, same L/R points, same final a/b.
 
@@ -71,10 +87,21 @@ class InnerProductProof:
             from ..ops import ipa_device
             a_in = [s.v for s in a] if isinstance(a, list) else a
             b_in = [s.v for s in b] if isinstance(b, list) else b
-            L_vec, R_vec, a0, b0 = ipa_device.create(
-                transcript, table, w.v % _mod,
-                [s.v for s in G_factors], [s.v for s in H_factors],
-                a_in, b_in, append_point, challenge_scalar)
+            if getattr(table, "mesh", None) is not None:
+                # SP axis: state vectors sharded across the mesh
+                # (parallel/sharded_ipa; falls back internally when the
+                # shapes don't shard).  Runs synchronously — the batched
+                # DP driver combines launches only on the single-chip path.
+                from ..parallel import sharded_ipa
+                L_vec, R_vec, a0, b0 = sharded_ipa.create(
+                    transcript, table, w.v % _mod,
+                    [s.v for s in G_factors], [s.v for s in H_factors],
+                    a_in, b_in, append_point, challenge_scalar)
+            else:
+                L_vec, R_vec, a0, b0 = yield from ipa_device.create_gen(
+                    transcript, table, w.v % _mod,
+                    [s.v for s in G_factors], [s.v for s in H_factors],
+                    a_in, b_in, append_point, challenge_scalar)
             return InnerProductProof(L_vec, R_vec, Scalar(a0), Scalar(b0))
 
         # Hot path: raw-int modular arithmetic (Scalar wrappers only at the

@@ -192,6 +192,23 @@ class Prover:
 
     # -- proving -----------------------------------------------------------
     def prove(self, bp_gens) -> R1CSProof:
+        """Drives prove_gen against the table directly (single proof)."""
+        gen = self.prove_gen(bp_gens)
+        resp = None
+        while True:
+            try:
+                kind, table, dig = gen.send(resp)
+            except StopIteration as stop:
+                return stop.value
+            assert kind == "msm"
+            resp = table.msm_digits(dig)
+
+    def prove_gen(self, bp_gens):
+        """Generator form of prove(): yields ("msm", table, digits) for
+        every batched table MSM and expects the resulting points sent back.
+        lang.batch drives MANY proofs in lockstep, concatenating their
+        digit matrices into combined launches (the DP axis: same circuit,
+        many witnesses — SURVEY.md §2.C)."""
         t = self.transcript
         t.append_u64(b"m", len(self.v))
 
@@ -230,7 +247,7 @@ class Prover:
             # digits recoded on device; schedule built device-side too
             from ..ops import flvec
             dig = flvec.digits_t_stacked([v_AI, v_AO, v_S])
-            p_AI, p_AO, p_S = table.msm_digits(dig)
+            p_AI, p_AO, p_S = yield ("msm", table, dig)
         else:
             p_AI, p_AO, p_S = table.msm_many([v_AI, v_AO, v_S])
         A_I1 = p_AI.compress()
@@ -262,10 +279,21 @@ class Prover:
         y = challenge_scalar(t, b"y")
         z = challenge_scalar(t, b"z")
 
-        wL, wR, wO, wV = self._flattened_constraints(z)
         y_inv = y.invert()
 
         device_vectors = getattr(table, "supports_digits", False)
+        flat = None
+        if device_vectors:
+            # vectorized flattening on device (ops/flatten); None for small
+            # circuits, where the host bigint loop is cheaper
+            from ..ops.flatten import flatten
+            flat = flatten(self.constraints, n, len(self.v), z.v % L_MOD,
+                           with_wc=False)
+        if flat is not None:
+            wL, wR, wO, wV = flat.wL, flat.wR, flat.wO, flat.wV
+        else:
+            wL, wR, wO, wV = self._flattened_constraints(z)
+
         if device_vectors:
             # O(n) polynomial math on the TPU (ops/prover_device); this is
             # dalek's l/r/t construction inside prover.prove
@@ -364,7 +392,7 @@ class Prover:
                          for i in range(padded_n)]
 
         assert padded_n == padded_n1
-        ipp = InnerProductProof.create(
+        ipp = yield from InnerProductProof.create_gen(
             t, Q, G_factors, H_factors,
             list(bp_gens.G(padded_n)), list(bp_gens.H(padded_n)),
             l_vec, r_vec, table=table, w=w)
@@ -490,7 +518,6 @@ class Verifier:
 
         w = challenge_scalar(t, b"w")
 
-        wL, wR, wO, wV, wc = self._flattened_constraints(z)
         a = proof.ipp_proof.a
         b = proof.ipp_proof.b
         y_inv = y.invert()
@@ -520,21 +547,45 @@ class Verifier:
         if getattr(table, "supports_digits", False):
             # O(n) scalar construction on device (ops/verifier_device);
             # host computes only delta and the two B-slot coefficients
-            from ..ops import verifier_device
+            import numpy as _np
+            from ..ops import verifier_device, flvec
+            from ..ops.fl import mont_mul
+            from ..ops.flatten import flatten
             from ..ops.prover_device import int_powers
             u_sq, u_inv_sq, allinv = \
                 proof.ipp_proof.verification_challenges(padded_n, t)
-            yi_pow = int_powers(y_inv.v % L_MOD, max(n, 1))
-            ynw = [wR[i] * yi_pow[i] % L_MOD for i in range(n)]
-            delta = sum(ynw[i] * wL[i] for i in range(n)) % L_MOD
-            c_B = (w.v * (proof.t_x.v - a.v * b.v)
-                   + r.v * (xx.v * (wc + delta) - proof.t_x.v)) % L_MOD
-            c_Bb = (-proof.e_blinding.v - r.v * proof.t_x_blinding.v) % L_MOD
-            dig = verifier_device.table_digits(
-                ynw, wL, wO, y_inv.v, x.v, a.v, b.v, u.v,
-                allinv.v, [v.v for v in u_sq], n, n1, padded_n, c_B, c_Bb)
+            flat = flatten(self.constraints, n, len(self.V), z.v % L_MOD,
+                           with_wc=True)
+            if flat is not None:
+                wV, wc = flat.wV, flat.wc
+                yinv_m = flvec.powers_mont(y_inv.v % L_MOD, padded_n)
+                ynw_d = mont_mul(flat.wR, yinv_m[:n])
+                delta = flvec.limbs_to_ints(
+                    _np.asarray(flvec.inner(ynw_d, flat.wL)))[0]
+                c_B = (w.v * (proof.t_x.v - a.v * b.v)
+                       + r.v * (xx.v * (wc + delta) - proof.t_x.v)) % L_MOD
+                c_Bb = (-proof.e_blinding.v
+                        - r.v * proof.t_x_blinding.v) % L_MOD
+                dig = verifier_device.table_digits_dev(
+                    ynw_d, flat.wL, flat.wO, y_inv.v, x.v, a.v, b.v, u.v,
+                    allinv.v, [v.v for v in u_sq], n, n1, padded_n,
+                    c_B, c_Bb)
+            else:
+                wL, wR, wO, wV, wc = self._flattened_constraints(z)
+                yi_pow = int_powers(y_inv.v % L_MOD, max(n, 1))
+                ynw = [wR[i] * yi_pow[i] % L_MOD for i in range(n)]
+                delta = sum(ynw[i] * wL[i] for i in range(n)) % L_MOD
+                c_B = (w.v * (proof.t_x.v - a.v * b.v)
+                       + r.v * (xx.v * (wc + delta) - proof.t_x.v)) % L_MOD
+                c_Bb = (-proof.e_blinding.v
+                        - r.v * proof.t_x_blinding.v) % L_MOD
+                dig = verifier_device.table_digits(
+                    ynw, wL, wO, y_inv.v, x.v, a.v, b.v, u.v,
+                    allinv.v, [v.v for v in u_sq], n, n1, padded_n,
+                    c_B, c_Bb)
             (table_part,) = table.msm_digits(dig)
         else:
+            wL, wR, wO, wV, wc = self._flattened_constraints(z)
             u_sq, u_inv_sq, s = \
                 proof.ipp_proof.verification_scalars(padded_n, t)
             y_inv_vec = exp_iter(y_inv, padded_n)

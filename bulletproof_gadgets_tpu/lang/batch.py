@@ -45,8 +45,69 @@ def warm_image_cache(byte_values) -> int:
     return len(todo)
 
 
+# Combined launches cap the stacked vector count: the serial-bucket MSM's
+# lane pool holds k*W*NB bucket lanes, and k*32*128 > the 49152 VMEM cap
+# from k = 13 up (advisor r2 item 4) — chunk proof groups below that.
+MAX_LAUNCH_K = 12
+
+
+def _drive_lockstep(gens):
+    """Run prover generators in lockstep, combining same-table MSM requests
+    into chunked multi-proof launches.  Each proof's request sequence is
+    identical (same circuit), so requests group naturally per step."""
+    import jax.numpy as jnp
+
+    live = {i: g for i, g in enumerate(gens)}
+    resps = {i: None for i in live}
+    results = {}
+    while live:
+        reqs = {}
+        for i in list(live):
+            try:
+                kind, table, dig = live[i].send(resps[i])
+                assert kind == "msm"
+                reqs[i] = (table, dig)
+            except StopIteration as stop:
+                results[i] = stop.value
+                del live[i]
+        if not reqs:
+            break
+        # group by table, chunk by stacked k
+        by_table = {}
+        for i, (table, dig) in reqs.items():
+            by_table.setdefault(id(table), (table, []))[1].append((i, dig))
+        for table, items in by_table.values():
+            group, ks = [], 0
+            flush_list = [group]
+            for i, dig in items:
+                k = dig.shape[0] // 32
+                if ks + k > MAX_LAUNCH_K and group:
+                    group = []
+                    flush_list.append(group)
+                    ks = 0
+                group.append((i, dig, k))
+                ks += k
+            for group in flush_list:
+                if not group:
+                    continue
+                combined = jnp.concatenate([d for _, d, _ in group], axis=0)
+                pts = table.msm_digits(combined)
+                off = 0
+                for i, _, k in group:
+                    resps[i] = pts[off:off + k]
+                    off += k
+    return [results[i] for i in range(len(gens))]
+
+
 def prove_batch(name, instance, witnesses, gadgets):
-    """Prove one circuit over a batch of witness sets."""
+    """Prove one circuit over a batch of witness sets.  The proofs advance
+    in lockstep: each phase's table MSMs (A_I/A_O/S, every IPA round's L/R)
+    combine across proofs into one device launch per <= MAX_LAUNCH_K
+    stacked vectors — per-witness launch/readback overhead amortizes
+    (SURVEY.md §2.C DP row; the reference proves strictly one statement at
+    a time, bin/prover.rs)."""
+    from .prove import prove_prepared
+
     needs_hash = any(op in gadgets for op in ("HASH", "MERKLE", "SET_MEMBER"))
     if needs_hash:
         values = []
@@ -57,12 +118,17 @@ def prove_batch(name, instance, witnesses, gadgets):
                 values.append(parse_assignment(line)[1])
         warm_image_cache(values)
 
-    out = []
+    prepared = []
     for w in witnesses:
         coms = []
-        proof, nc = prove(name, instance, w, gadgets, coms)
-        out.append((proof, nc, "".join(coms)))
-    return out
+        prover, bp_gens, nc = prove_prepared(name, instance, w, gadgets,
+                                             coms)
+        prepared.append((prover, bp_gens, nc, coms))
+
+    gens = [prover.prove_gen(bp_gens) for prover, bp_gens, _, _ in prepared]
+    proofs = _drive_lockstep(gens)
+    return [(proof.to_bytes(), nc, "".join(coms))
+            for proof, (_, _, nc, coms) in zip(proofs, prepared)]
 
 
 def verify_batch(name, instance, proofs_and_coms, gadgets):

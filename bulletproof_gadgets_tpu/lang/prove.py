@@ -45,12 +45,13 @@ def commit_single(prover, witness: bytes):
     return scalar, commitment, variable
 
 
-def prove(name: str, instance: str, witness: str, gadgets: str,
-          coms_out: list):
-    """Returns proof bytes; appends commitment lines to coms_out.
-
-    Mirrors prove() at src/prove.rs:37-82; returns (proof_bytes,
-    num_constraints)."""
+def prove_prepared(name: str, instance: str, witness: str, gadgets: str,
+                   coms_out: list):
+    """Everything in prove() up to (not including) the final prover.prove:
+    parsing, witness commitments, gadget assembly, buffer replay, gens
+    sizing.  Returns (prover, bp_gens, num_constraints) so callers can run
+    the proof phase themselves — lang.batch drives many prepared provers in
+    lockstep over combined MSM launches."""
     transcript = Transcript(name.encode())
     pc_gens = PedersenGens.default()
     prover = Prover(pc_gens, transcript)
@@ -73,6 +74,17 @@ def prove(name: str, instance: str, witness: str, gadgets: str,
 
     num_constraints = prover.num_constraints()
     bp_gens = BulletproofGens(round_pow2(prover.get_num_multiplications()), 1)
+    return prover, bp_gens, num_constraints
+
+
+def prove(name: str, instance: str, witness: str, gadgets: str,
+          coms_out: list):
+    """Returns proof bytes; appends commitment lines to coms_out.
+
+    Mirrors prove() at src/prove.rs:37-82; returns (proof_bytes,
+    num_constraints)."""
+    prover, bp_gens, num_constraints = prove_prepared(
+        name, instance, witness, gadgets, coms_out)
     proof = prover.prove(bp_gens)
     return proof.to_bytes(), num_constraints
 

@@ -55,7 +55,10 @@ def _setup_compilation_cache():
     even SAME-host artifacts fail to load — all cost, plus a wall of
     cpu_aot_loader mismatch errors, zero hits (measured round 3)."""
     platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS")
-    if platforms and "cpu" in str(platforms):
+    # primary platform only: the axon image sets jax_platforms="axon,cpu"
+    # (cpu as fallback), which must still get the persistent cache
+    primary = str(platforms).split(",")[0].strip() if platforms else ""
+    if primary == "cpu":
         return
     try:
         cache_dir = os.path.join(_CACHE_DIR, _machine_tag())

@@ -218,3 +218,39 @@ def inner(a_std, b_std):
     prods = mont_mul(a_std, b_std)          # a*b/R
     s = sum_rows(prods)                     # sum(a*b)/R, value < ~2^270
     return mont_mul(s, jnp.asarray(_R2_LIMBS))   # * R^2 / R = sum(a*b)
+
+
+def powers_mont(base: int, count: int):
+    """[count, NW] mont-form powers base^0..base^{count-1}, built ON DEVICE
+    via a Montgomery associative scan (log2 count mont_mul sweeps) — the
+    host int_powers + to_mont pipeline costs ~0.4 us/element in Python,
+    which at padded_n = 2^17 is ~50 ms per prove."""
+    one_m = jnp.asarray(to_mont([1]))
+    if count <= 1:
+        return one_m[:1]
+    b_m = jnp.asarray(to_mont([base % L]))[0]
+    return _powers_mont(b_m, one_m, count)
+
+
+def _powers_mont_impl(b_m, one_m, count: int):
+    import jax
+
+    rep = jnp.broadcast_to(b_m[None, :], (count - 1, NW))
+    scan = jax.lax.associative_scan(mont_mul, rep)
+    return jnp.concatenate([one_m, scan], axis=0)
+
+
+_powers_mont_jit = None
+
+
+def _powers_mont(b_m, one_m, count: int):
+    # module-level jit (created lazily so importing flvec doesn't import
+    # jax.jit machinery): a per-call jit object would re-trace and
+    # re-compile on EVERY prove (~4 s/compile on the remote backend)
+    global _powers_mont_jit
+    if _powers_mont_jit is None:
+        import jax
+        from functools import partial
+        _powers_mont_jit = partial(jax.jit, static_argnums=(2,))(
+            _powers_mont_impl)
+    return _powers_mont_jit(b_m, one_m, count)

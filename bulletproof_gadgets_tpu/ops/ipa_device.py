@@ -118,9 +118,25 @@ def _scalars(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i):
 
 def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
            append_point, challenge_scalar):
-    """Runs the full IPA with device state.  table: msm_serial
-    GeneratorTable sized to n_full; returns (L_vec, R_vec, a0, b0) with
-    a0/b0 canonical ints."""
+    """Drives create_gen against the table directly (single proof)."""
+    gen = create_gen(transcript, table, w_scalar, G_factors, H_factors,
+                     a, b, append_point, challenge_scalar)
+    resp = None
+    while True:
+        try:
+            kind, tbl, dig = gen.send(resp)
+        except StopIteration as stop:
+            return stop.value
+        assert kind == "msm"
+        resp = tbl.msm_digits(dig)
+
+
+def create_gen(transcript, table, w_scalar, G_factors, H_factors, a, b,
+               append_point, challenge_scalar):
+    """Runs the full IPA with device state, yielding ("msm", table, digits)
+    per round (lang.batch combines rounds across proofs).  table:
+    msm_serial GeneratorTable sized to n_full; returns (L_vec, R_vec, a0,
+    b0) with a0/b0 canonical ints."""
     from . import msm_serial
 
     if isinstance(a, list):
@@ -147,7 +163,7 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
         dig = _scalars(a_d, b_d, gc_d, hc_d, wr2,
                        mk["ga"], mk["hi"], mk["cs"], mk["lo_i"],
                        mk["hi_i"])
-        pL, pR = table.msm_digits(dig)
+        pL, pR = yield ("msm", table, dig)
         Lb = pL.compress()
         Rb = pR.compress()
         append_point(transcript, b"L", Lb)

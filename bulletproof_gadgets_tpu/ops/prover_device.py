@@ -37,10 +37,13 @@ class ProverVectors:
                  padded_n: int):
         n = len(aL)
         pad = padded_n - n
-        y_pow = int_powers(y, padded_n)
-        yinv_pow = int_powers(y_inv, padded_n)
 
         def up(v):
+            if isinstance(v, jnp.ndarray):      # device limb rows (flatten)
+                if pad:
+                    return jnp.concatenate(
+                        [v, jnp.zeros((pad, NW), jnp.int32)], axis=0)
+                return v
             return jnp.asarray(flvec.to_limbs([x % L for x in v]
                                               + [0] * pad))
 
@@ -52,11 +55,15 @@ class ProverVectors:
         self.wL = up(wL)
         self.wR = up(wR)
         self.wO = up(wO)
-        self.y_m = jnp.asarray(flvec.to_mont(y_pow))
-        self.yinv_m = jnp.asarray(flvec.to_mont(yinv_pow))
+        # y / y^-1 power series built on device (flvec.powers_mont): the
+        # host int_powers + to_mont pipeline is ~0.4 us/element
+        self.y_m = flvec.powers_mont(y, padded_n)
+        self.yinv_m = flvec.powers_mont(y_inv, padded_n)
         # r0 pad rows: wO - y^i must equal -y^i  =>  wO pad rows stay 0 and
         # the y_std vector carries y^i on every row
-        self.y_std = jnp.asarray(flvec.to_limbs(y_pow))
+        one_std = jnp.zeros((1, NW), jnp.int32).at[0, 0].set(1)
+        self.y_std = mont_mul(jnp.broadcast_to(one_std, (padded_n, NW)),
+                              self.y_m)
         self.n = n
         self.padded_n = padded_n
         self._parts = _build_parts(self.aL, self.aR, self.aO,

@@ -30,6 +30,39 @@ def _s_vector(allinv_m, u_sq_m):
     return s
 
 
+def table_digits_dev(ynw_d, wL_d, wO_d, y_inv: int, x: int, a: int, b: int,
+                     u: int, allinv: int, u_sq, n: int, n1: int,
+                     padded_n: int, c_B: int, c_Bb: int):
+    """Device-native variant of table_digits: ynw/wL/wO arrive as [n, NW]
+    std limb rows already on device (ops/flatten + a mont_mul), so no host
+    int conversion touches the O(n) vectors.  y^-i powers and the u_or_1
+    vector are built on device too."""
+    pad = padded_n - n
+
+    def padrow(v):
+        return jnp.pad(v, ((0, pad), (0, 0))) if pad else v
+
+    wL_p = padrow(wL_d)
+    wO_p = padrow(wO_d)
+    ynw_p = padrow(ynw_d)
+    yinv_m = flvec.powers_mont(y_inv % L, padded_n)
+    one_m = flvec.powers_mont(1, 1)[0]
+    u_m = jnp.asarray(flvec.to_mont([u % L]))[0]
+    u1_m = jnp.concatenate(
+        [jnp.broadcast_to(one_m[None, :], (n1, NW)),
+         jnp.broadcast_to(u_m[None, :], (padded_n - n1, NW))], axis=0)
+
+    x_m = jnp.asarray(flvec.to_mont([x % L]))[0]
+    a_m = jnp.asarray(flvec.to_mont([a % L]))[0]
+    b_m = jnp.asarray(flvec.to_mont([b % L]))[0]
+    allinv_m = jnp.asarray(flvec.to_mont([allinv % L]))[0]
+    u_sq_m = jnp.asarray(flvec.to_mont([v % L for v in u_sq]))
+    tail = jnp.asarray(flvec.to_limbs([c_B % L, c_Bb % L]))
+
+    return _table_digits(wL_p, wO_p, ynw_p, yinv_m, u1_m,
+                         x_m, a_m, b_m, allinv_m, u_sq_m, tail)
+
+
 def table_digits(ynw, wL, wO, y_inv: int, x: int, a: int, b: int, u: int,
                  allinv: int, u_sq, n: int, n1: int, padded_n: int,
                  c_B: int, c_Bb: int):

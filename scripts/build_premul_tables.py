@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Build (and disk-cache) c=16 premultiplied MSM tables for bench sizes.
+"""Build (and disk-cache) c=16 premultiplied MSM tables.
 
-The table build is host-side point arithmetic (~2 min per 2^16 points) and
-is deliberately NOT done inside bench.py — run this once per machine:
+NOTE (round 3): the premul path measured 3.5x SLOWER than the plain c=8
+serial-bucket kernel at n=2^16 (bucket-occupancy slack + 32x table gather
+traffic; docs/PERFORMANCE.md) and is EXCLUDED from bench.py by default.
+Only build tables if you set BPG_BENCH_PREMUL=1 to re-measure it.
+
+The table build is host-side point arithmetic (~2 min per 2^16 points):
 
     python scripts/build_premul_tables.py [n ...]      # default: 65536
 """

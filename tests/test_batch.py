@@ -68,3 +68,29 @@ def test_prove_batch_hash_uses_device_images():
                        [(p, c) for p, _, c in results], gadgets)
     assert oks == [True, True]
     mimc._image_cache.clear()
+
+
+def test_batch_lockstep_proofs_verify():
+    """Lockstep-batched proofs (combined MSM launches across proofs) must
+    all verify and be deterministic under a fixed seed.  Bytes differ from
+    a sequential loop only through blinding draw ORDER (all witnesses
+    prepare before any proves), so determinism is asserted batch-vs-batch.
+    """
+    from bulletproof_gadgets_tpu.lang.batch import prove_batch, verify_batch
+    from bulletproof_gadgets_tpu.utils import rng
+
+    name = "batchdet"
+    gadgets = "BOUND W0 I0 I1"
+    instance = "I0 = 0x00\nI1 = 0xffffffff\n"
+    witnesses = [f"W0 = 0x{v:08x}\n" for v in (5, 77, 123456, 0xabcdef)]
+
+    rng.set_seed("batch-det")
+    batched = prove_batch(name, instance, witnesses, gadgets)
+    rng.set_seed("batch-det")
+    batched2 = prove_batch(name, instance, witnesses, gadgets)
+    rng.set_seed(None)
+
+    assert batched == batched2, "batched proving is not deterministic"
+    oks = verify_batch(name, instance,
+                       [(p, c) for p, _, c in batched], gadgets)
+    assert oks == [True] * len(witnesses)
