@@ -44,14 +44,15 @@ class InnerProductProof:
         gen = InnerProductProof.create_gen(
             transcript, Q, G_factors, H_factors, G, H, a, b,
             table=table, w=w)
+        import numpy as _np
         resp = None
         while True:
             try:
                 kind, tbl, dig = gen.send(resp)
             except StopIteration as stop:
                 return stop.value
-            assert kind == "msm"
-            resp = tbl.msm_digits(dig)
+            resp = (tbl.msm_digits(dig) if kind == "msm"
+                    else _np.asarray(dig))
 
     @staticmethod
     def create_gen(transcript, Q: RistrettoPoint, G_factors, H_factors,

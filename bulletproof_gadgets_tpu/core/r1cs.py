@@ -193,6 +193,7 @@ class Prover:
     # -- proving -----------------------------------------------------------
     def prove(self, bp_gens) -> R1CSProof:
         """Drives prove_gen against the table directly (single proof)."""
+        import numpy as _np
         gen = self.prove_gen(bp_gens)
         resp = None
         while True:
@@ -200,8 +201,8 @@ class Prover:
                 kind, table, dig = gen.send(resp)
             except StopIteration as stop:
                 return stop.value
-            assert kind == "msm"
-            resp = table.msm_digits(dig)
+            resp = (table.msm_digits(dig) if kind == "msm"
+                    else _np.asarray(dig))
 
     def prove_gen(self, bp_gens):
         """Generator form of prove(): yields ("msm", table, digits) for
@@ -304,7 +305,11 @@ class Prover:
                 [s.v for s in self.a_O],
                 [s.v for s in s_L1], [s.v for s in s_R1],
                 wL, wR, wO, y.v % L_MOD, y_inv.v % L_MOD, padded_n)
-            t1, t2, t3, t4, t5, t6 = (Scalar(v) for v in pv.t_poly())
+            # fetched via the generator protocol so lang.batch can combine
+            # many proofs' readbacks into one transfer
+            t_parts = yield ("fetch", None, pv.t_poly_device())
+            t1, t2, t3, t4, t5, t6 = (
+                Scalar(v) for v in ProverVectors.t_poly_from(t_parts))
             t_poly = _Poly6(t1, t2, t3, t4, t5, t6)
         else:
             exp_y_vec = exp_iter(y, max(n, 1))

@@ -45,10 +45,12 @@ def warm_image_cache(byte_values) -> int:
     return len(todo)
 
 
-# Combined launches cap the stacked vector count: the serial-bucket MSM's
-# lane pool holds k*W*NB bucket lanes, and k*32*128 > the 49152 VMEM cap
-# from k = 13 up (advisor r2 item 4) — chunk proof groups below that.
-MAX_LAUNCH_K = 12
+def _max_launch_k():
+    """Stacked-vector cap per combined launch: the serial-bucket MSM's
+    lane pool holds ~k*W*NB bucket lanes + slack, bounded by the VMEM cap
+    (advisor r2 item 4) — chunk proof groups below msm_serial's limit."""
+    from ..ops.msm_serial import max_stack_k
+    return max_stack_k()
 
 
 def _drive_lockstep(gens):
@@ -57,22 +59,40 @@ def _drive_lockstep(gens):
     identical (same circuit), so requests group naturally per step."""
     import jax.numpy as jnp
 
+    import numpy as np
+
     live = {i: g for i, g in enumerate(gens)}
     resps = {i: None for i in live}
     results = {}
     while live:
         reqs = {}
+        fetches = {}
         for i in list(live):
             try:
                 kind, table, dig = live[i].send(resps[i])
-                assert kind == "msm"
-                reqs[i] = (table, dig)
+                if kind == "fetch":
+                    fetches[i] = dig
+                else:
+                    assert kind == "msm"
+                    reqs[i] = (table, dig)
             except StopIteration as stop:
                 results[i] = stop.value
                 del live[i]
+        # combine readbacks: one transfer per same-shape group
+        if fetches:
+            by_shape = {}
+            for i, arr in fetches.items():
+                by_shape.setdefault(arr.shape, []).append((i, arr))
+            for items in by_shape.values():
+                stacked = np.asarray(jnp.stack([a for _, a in items]))
+                for (i, _), row in zip(items, stacked):
+                    resps[i] = row
         if not reqs:
+            if fetches:
+                continue
             break
         # group by table, chunk by stacked k
+        k_cap = _max_launch_k()
         by_table = {}
         for i, (table, dig) in reqs.items():
             by_table.setdefault(id(table), (table, []))[1].append((i, dig))
@@ -81,17 +101,28 @@ def _drive_lockstep(gens):
             flush_list = [group]
             for i, dig in items:
                 k = dig.shape[0] // 32
-                if ks + k > MAX_LAUNCH_K and group:
+                if ks + k > k_cap and group:
                     group = []
                     flush_list.append(group)
                     ks = 0
                 group.append((i, dig, k))
                 ks += k
+            can_async = hasattr(table, "msm_digits_launch")
+            pendings = []
             for group in flush_list:
                 if not group:
                     continue
                 combined = jnp.concatenate([d for _, d, _ in group], axis=0)
-                pts = table.msm_digits(combined)
+                if can_async:
+                    # dispatch every chunk before any readback: launches
+                    # overlap on device, the host pays one round-trip wave
+                    pendings.append((group, table.msm_digits_launch(
+                        combined)))
+                else:
+                    pendings.append((group, table.msm_digits(combined)))
+            for group, pend in pendings:
+                pts = (table.msm_digits_finish(pend) if can_async
+                       else pend)
                 off = 0
                 for i, _, k in group:
                     resps[i] = pts[off:off + k]
@@ -102,7 +133,7 @@ def _drive_lockstep(gens):
 def prove_batch(name, instance, witnesses, gadgets):
     """Prove one circuit over a batch of witness sets.  The proofs advance
     in lockstep: each phase's table MSMs (A_I/A_O/S, every IPA round's L/R)
-    combine across proofs into one device launch per <= MAX_LAUNCH_K
+    combine across proofs into one device launch per <= max_stack_k()
     stacked vectors — per-witness launch/readback overhead amortizes
     (SURVEY.md §2.C DP row; the reference proves strictly one statement at
     a time, bin/prover.rs)."""

@@ -142,12 +142,24 @@ def digits_t_stacked(vectors):
                            axis=0)
 
 
+_digits_device_jit = None
+
+
 def digits_device(x):
     """Device version of digits_from_limbs: [..., NW] limbs (value < 2^254,
     any rep mod l) -> [32, ...] int8 signed base-256 digits, WINDOW-LEADING
     (ready for the schedule builder's transposed layout).  Exact carry
     normalization via a sequential scan over the limb axis, then byte
-    extraction and signed recode."""
+    extraction and signed recode.  Jitted: the eager form dispatches ~365
+    ops (~0.6 s per prove at 2^16)."""
+    global _digits_device_jit
+    if _digits_device_jit is None:
+        import jax
+        _digits_device_jit = jax.jit(_digits_device_impl)
+    return _digits_device_jit(x)
+
+
+def _digits_device_impl(x):
     import jax
 
     xs = jnp.moveaxis(x, -1, 0)                     # [NW, ...]

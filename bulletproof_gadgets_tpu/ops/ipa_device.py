@@ -127,8 +127,8 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
             kind, tbl, dig = gen.send(resp)
         except StopIteration as stop:
             return stop.value
-        assert kind == "msm"
-        resp = tbl.msm_digits(dig)
+        resp = (tbl.msm_digits(dig) if kind == "msm"
+                else np.asarray(dig))
 
 
 def create_gen(transcript, table, w_scalar, G_factors, H_factors, a, b,
@@ -180,6 +180,6 @@ def create_gen(transcript, table, w_scalar, G_factors, H_factors, a, b,
         a_d, b_d, gc_d, hc_d = _fold(a_d, b_d, gc_d, hc_d,
                                      u_prev[0], u_prev[1],
                                      prev["ga"], prev["hi"])
-    fin = np.asarray(jnp.stack([a_d[0], b_d[0]]))
+    fin = yield ("fetch", None, jnp.stack([a_d[0], b_d[0]]))
     a0, b0 = flvec.limbs_to_ints(fin)
     return L_vec, R_vec, a0, b0

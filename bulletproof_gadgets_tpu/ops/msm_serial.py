@@ -61,7 +61,10 @@ NB = 1 << (C - 1)         # 128 buckets per window
 W = 32 * 8 // C           # 32 windows per 256-bit scalar
 _2D = 2 * _D % _P
 
-_ROUND_PAD = 32           # rounds padded to a multiple (bounds jit shapes)
+_ROUND_PAD = 8            # rounds padded to a multiple (bounds jit shapes;
+                          # 8 = the Mosaic block-dim granularity _r_chunk
+                          # needs — 32 cost small tables up to 3x excess
+                          # rounds and large ones ~6%)
 _LANE_PAD = 4096          # pool lanes padded to a multiple of the kernel block
 _LANE_PAD_TIGHT = 1024    # finer padding for the tight static plan
 _POOL_CAP = 49152         # VMEM pool-width cap (lanes)
@@ -399,19 +402,31 @@ def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
     return jnp.concatenate([cols, extra], axis=2)
 
 
-def _launch_static(digits_t_dev, src, n: int):
-    """Tight static plan first; on pool overflow (rare — adversarial digit
-    mixes only) re-run on the r2 safe-bound shape, compiled lazily."""
+def _launch_static_async(digits_t_dev, src, n: int):
+    """Dispatch the tight-plan MSM without syncing: returns opaque pending
+    state for _launch_static_finish.  Lets callers pipeline several
+    launches before paying a readback round trip each."""
     wt = digits_t_dev.shape[0]
     k = wt // W
     t, p, steps = _static_plan(wt, n)
-    arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n, t, p,
-                                        k, steps))
+    pend = _msm_serial_static(digits_t_dev, src, wt, n, t, p, k, steps)
+    return (pend, digits_t_dev, src, wt, n, p, k)
+
+
+def _launch_static_finish(pending):
+    pend, digits_t_dev, src, wt, n, p, k = pending
+    arr = np.asarray(pend)
     if int(arr[0, 0, k]) >= p:                         # tight pool overflow
-        t, p, steps = _static_plan(wt, n, safe=True)
-        arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n, t, p,
-                                            k, steps))
+        t2, p2, steps2 = _static_plan(wt, n, safe=True)
+        arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n,
+                                            t2, p2, k, steps2))
     return _points_from_cols(arr[:, :, :k], k)
+
+
+def _launch_static(digits_t_dev, src, n: int):
+    """Tight static plan first; on pool overflow (rare — adversarial digit
+    mixes only) re-run on the r2 safe-bound shape, compiled lazily."""
+    return _launch_static_finish(_launch_static_async(digits_t_dev, src, n))
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
@@ -576,7 +591,7 @@ def _r_chunk(t_rounds: int) -> int:
     in-spec block grows to [NL, rc, blk] ≈ rc * 0.33 MB per coordinate).
     Mosaic requires the middle block dim be a multiple of 8, so valid
     values are 1 (2D fallback) or multiples of 8 dividing T (T is padded
-    to a multiple of 32)."""
+    to a multiple of _ROUND_PAD = 8)."""
     rc = int(os.environ.get("BPG_TPU_MSM_RCHUNK", "32"))
     while rc > 1 and (t_rounds % rc or rc % 8):
         rc //= 2
@@ -715,12 +730,35 @@ def msm_many(vectors, src, n: int):
     return _launch(build_schedule(digits, n), src)
 
 
+def max_stack_k() -> int:
+    """Largest number of stacked scalar vectors whose combined launch keeps
+    the bucket-lane pool under the VMEM cap (pool ~ k*W*NB lanes + slack <=
+    _POOL_CAP for any table size: the count-mass term total/T ~ k*W*NB too
+    once T tracks the mean).  Stacking beyond this forces the planner into
+    a degenerate huge-T shape (advisor r2 item 4 — measured as a 27 GB
+    allocation at k=12 over a 130-point table)."""
+    k = 1
+    while True:
+        mb = (k + 1) * W * NB
+        if mb + 512 + (mb >> 4) + 1 > _POOL_CAP:
+            return k
+        k += 1
+
+
 def msm_many_digits_t(digits_t, src, n: int):
     """Window-major digit path: digits_t [k*W, n] int8, either a DEVICE
     array (kept resident: static-shape schedule built on device inside the
     MSM jit — zero plan readbacks; BPG_TPU_MSM_SCHED=readback restores the
     dynamic-shape [M+1]-readback path) or host numpy (C scheduler + idx
-    upload)."""
+    upload).  Launches too wide for the VMEM lane pool split recursively
+    along the vector axis."""
+    wt = digits_t.shape[0]
+    k = wt // W
+    k_max = max_stack_k()
+    if k > k_max:
+        split = k_max * W
+        return (msm_many_digits_t(digits_t[:split], src, n)
+                + msm_many_digits_t(digits_t[split:], src, n))
     if isinstance(digits_t, jnp.ndarray) and not isinstance(
             digits_t, np.ndarray):
         if os.environ.get("BPG_TPU_MSM_SCHED", "static") == "readback":
@@ -765,3 +803,14 @@ class GeneratorTable:
         """digits_t [k*W, m] int8, window-major — host numpy (C scheduler)
         or device array (device sort/schedule, digits never read back)."""
         return msm_many_digits_t(digits_t, self.src, self.m)
+
+    def msm_digits_launch(self, digits_t):
+        """Async dispatch (device digits, static scheduler only): returns
+        pending state; finish with msm_digits_finish.  Callers must keep
+        k <= max_stack_k()."""
+        assert digits_t.shape[0] // W <= max_stack_k()
+        return _launch_static_async(digits_t, self.src, self.m)
+
+    @staticmethod
+    def msm_digits_finish(pending):
+        return _launch_static_finish(pending)

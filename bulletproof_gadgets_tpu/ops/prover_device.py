@@ -59,23 +59,29 @@ class ProverVectors:
         # host int_powers + to_mont pipeline is ~0.4 us/element
         self.y_m = flvec.powers_mont(y, padded_n)
         self.yinv_m = flvec.powers_mont(y_inv, padded_n)
-        # r0 pad rows: wO - y^i must equal -y^i  =>  wO pad rows stay 0 and
-        # the y_std vector carries y^i on every row
-        one_std = jnp.zeros((1, NW), jnp.int32).at[0, 0].set(1)
-        self.y_std = mont_mul(jnp.broadcast_to(one_std, (padded_n, NW)),
-                              self.y_m)
         self.n = n
         self.padded_n = padded_n
         self._parts = _build_parts(self.aL, self.aR, self.aO,
                                    self.sL, self.sR,
                                    self.wL, self.wR, self.wO,
-                                   self.y_m, self.yinv_m, self.y_std)
+                                   self.y_m, self.yinv_m)
+
+    def t_poly_device(self):
+        """The nine t-poly partial sums as a [9, NW] DEVICE array — fetch
+        it (possibly batched across proofs, lang.batch) and finish with
+        t_poly_from."""
+        return _t_sums(*self._parts)
+
+    @staticmethod
+    def t_poly_from(arr):
+        """[9, NW] host array -> six t-poly coefficients as ints."""
+        i = flvec.limbs_to_ints(arr)
+        return (i[0], (i[1] + i[2]) % L, (i[3] + i[4]) % L,
+                (i[5] + i[6]) % L, i[7], i[8])
 
     def t_poly(self):
         """Six t-poly coefficients (t1..t6) as canonical ints."""
-        i = flvec.limbs_to_ints(np.asarray(_t_sums(*self._parts)))
-        return (i[0], (i[1] + i[2]) % L, (i[3] + i[4]) % L,
-                (i[5] + i[6]) % L, i[7], i[8])
+        return self.t_poly_from(np.asarray(self.t_poly_device()))
 
     def lr(self, x: int):
         """l(x), r(x) as device [padded_n, NW] arrays (the IPA's a/b)."""
@@ -86,8 +92,14 @@ class ProverVectors:
 
 
 @jax.jit
-def _build_parts(aL, aR, aO, sL, sR, wL, wR, wO, y_m, yinv_m, y_std):
-    """(l1, l2, l3, r0r1r3-stack) — the reusable round-independent parts."""
+def _build_parts(aL, aR, aO, sL, sR, wL, wR, wO, y_m, yinv_m):
+    """(l1, l2, l3, r0r1r3-stack) — the reusable round-independent parts.
+    y_std (the std-form y^i vector for r0's pad rows) is derived from y_m
+    in-graph so the whole prep is ONE jit (the eager mont_mul chain cost
+    ~120 ms/proof in host dispatch)."""
+    n_rows = aL.shape[0]
+    one_std = jnp.zeros((1, NW), jnp.int32).at[0, 0].set(1)
+    y_std = mont_mul(jnp.broadcast_to(one_std, (n_rows, NW)), y_m)
     l1 = flvec.add(aL, mont_mul(yinv_m, wR))
     l2 = aO
     l3 = sL

@@ -33,14 +33,16 @@ def main():
 
     rng.set_seed("bench-batch")
 
-    # warm all shapes
-    t0 = time.time()
-    prove_batch(name, instance, witnesses(2), gadgets)
-    print(f"warmup (compiles): {time.time()-t0:.1f}s", flush=True)
-
-    # sequential baseline
     for bs in (8, 32):
         ws = witnesses(bs)
+        # warm ALL shapes for this batch size (combined-launch chunk shapes
+        # depend on the batch size) plus the sequential path's shapes
+        t0 = time.time()
+        coms = []
+        prove(name, instance, ws[0], gadgets, coms)
+        prove_batch(name, instance, ws, gadgets)
+        print(f"batch={bs}: warmup {time.time()-t0:.1f}s", flush=True)
+
         t0 = time.time()
         seq = []
         for w in ws:
