@@ -513,6 +513,30 @@ def _bucket_kernel(bias, gx, gy, gt, ox, oy, oz, ot, *, r_chunk: int):
     ox[:], oy[:], oz[:], ot[:] = acc
 
 
+def _bucket_kernel_cont(bias, ix, iy, iz, it, gx, gy, gt, ox, oy, oz, ot,
+                        *, r_chunk: int):
+    """Accumulator-carrying variant of _bucket_kernel: the pool state
+    enters as an input instead of being initialized to identity — used by
+    the round-chunked path, where one MSM's bucket accumulation spans
+    several pallas launches (the gathered [T, 64, P] source for a 2^21-row
+    table would otherwise materialize ~22 GB; chunking caps it)."""
+    rc = pl.program_id(1)
+
+    @pl.when(rc == 0)
+    def _():
+        ox[:], oy[:], oz[:], ot[:] = ix[:], iy[:], iz[:], it[:]
+
+    def body(rr, acc):
+        return _madd_body(bias[:], *acc,
+                          gx[rr].astype(jnp.int32),
+                          gy[rr].astype(jnp.int32),
+                          gt[rr].astype(jnp.int32))
+
+    acc = (ox[:], oy[:], oz[:], ot[:])
+    acc = jax.lax.fori_loop(0, r_chunk, body, acc)
+    ox[:], oy[:], oz[:], ot[:] = acc
+
+
 def _bucket_kernel2d(bias, gx, gy, gt, ox, oy, oz, ot):
     """rc=1 variant over a flat [NL, T*P] gathered layout."""
     r = pl.program_id(1)
@@ -611,6 +635,26 @@ def _pipeline(idx, segid, last_pos, src, k: int, merge_steps: int):
     return _horner_part(ws, k)
 
 
+# Round-chunking threshold: the gathered source materializes T*P rows of
+# 64 int16 + an int32 widened/transposed copy (~384 B per slot transient);
+# past ~12M slots (~4.5 GB transient) chunk the rounds axis so memory stays
+# bounded regardless of table size (the 2^21-row stress table needs 86M
+# slots = ~22 GB unchunked).  Chunking costs ~10% (fori_loop + sliced
+# gathers lose some overlap), so the budget sits just above the largest
+# routine shape (n=2^18: 11.2M slots).
+_SLOT_BUDGET = 12 * 1024 * 1024
+
+
+def _gather_g3(idx_rows, src, t, p):
+    """[t, p] idx -> rounds-leading int32 coordinate blocks.
+    Widen BEFORE the transpose: XLA's int16 transpose is ~5x slower than
+    int32 (measured 316 vs 57 ms full-pipeline at n=2^16); the int16 win
+    stays where it matters, the random-access row gather."""
+    g64 = jnp.take(src, idx_rows.reshape(-1), axis=0)   # [t*p, 64] int16
+    g3 = g64.astype(jnp.int32).reshape(t, p, 64).transpose(0, 2, 1)
+    return (g3[:, 0:NL], g3[:, NL:2 * NL], g3[:, 2 * NL:3 * NL])
+
+
 def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int):
     """Bucket accumulation + merge + weighted window reduction.
     Returns a 4-tuple of [NL, k*W] extended-coordinate window sums —
@@ -618,32 +662,12 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int):
     add with the group law; see parallel/sharded_serial.py)."""
     t_rounds, p = idx.shape
     m = last_pos.shape[0]
-    flat = idx.reshape(-1)
-    g64 = jnp.take(src, flat, axis=0)                   # [T*P, 64] int16
 
     bias = jnp.asarray(_SUB_BIAS_COL)
     d2 = jnp.asarray(_D2_COL)
     blk = _blk_for(p)
     nb = p // blk
     rc = _r_chunk(t_rounds)
-    if rc == 1:
-        g64t = g64.astype(jnp.int32).T                  # [64, T*P]
-        g = (g64t[0:NL], g64t[NL:2 * NL], g64t[2 * NL:3 * NL])
-        spec = pl.BlockSpec((NL, blk), lambda j, r: (0, r * nb + j),
-                            memory_space=pltpu.VMEM)
-        kernel = partial(_bucket_kernel2d)
-    else:
-        # rounds-leading layout [T, NL, P]: untiled lead dim -> the kernel
-        # fori_loop indexes rounds dynamically.  Widen BEFORE the
-        # transpose: XLA's int16 transpose is ~5x slower than int32
-        # (measured 316 vs 57 ms full-pipeline at n=2^16); the int16 win
-        # stays where it matters, the random-access row gather.
-        g3 = (g64.astype(jnp.int32)
-              .reshape(t_rounds, p, 64).transpose(0, 2, 1))
-        g = (g3[:, 0:NL], g3[:, NL:2 * NL], g3[:, 2 * NL:3 * NL])
-        spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
-                            memory_space=pltpu.VMEM)
-        kernel = partial(_bucket_kernel, r_chunk=rc)
     ospec = pl.BlockSpec((NL, blk), lambda j, r: (0, j),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((NL, 1), lambda j, r: (0, 0),
@@ -653,15 +677,65 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int):
     # (v5e/v6e have 128 MB VMEM).
     params = (None if _use_interpret() else
               pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
-    pool = pl.pallas_call(
-        kernel,
-        grid=(nb, t_rounds // rc),
-        in_specs=[cspec] + [spec] * 3,
-        out_specs=[ospec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
-        compiler_params=params,
-        interpret=_use_interpret(),
-    )(bias, *g)
+
+    if rc > 1 and t_rounds * p > _SLOT_BUDGET:
+        # chunked accumulation: slice Tc rounds at a time, gather only that
+        # chunk's sources, and carry the pool through an accumulator-input
+        # kernel inside a fori_loop (one compiled chunk graph).
+        tc = max(rc, (_SLOT_BUDGET // p) // rc * rc)
+        n_chunks = -(-t_rounds // tc)
+        t_pad = n_chunks * tc
+        if t_pad > t_rounds:
+            ident_row = src.shape[0] - 1
+            idx = jnp.concatenate(
+                [idx, jnp.full((t_pad - t_rounds, p), ident_row,
+                               jnp.int32)], axis=0)
+        spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
+                            memory_space=pltpu.VMEM)
+
+        def chunk_body(c, acc):
+            idx_c = jax.lax.dynamic_slice(idx, (c * tc, 0), (tc, p))
+            g = _gather_g3(idx_c, src, tc, p)
+            return tuple(pl.pallas_call(
+                partial(_bucket_kernel_cont, r_chunk=rc),
+                grid=(nb, tc // rc),
+                in_specs=[cspec] + [ospec] * 4 + [spec] * 3,
+                out_specs=[ospec] * 4,
+                out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
+                compiler_params=params,
+                interpret=_use_interpret(),
+            )(bias, *acc, *g))
+
+        row = jnp.arange(NL, dtype=jnp.int32)[:, None]
+        one = jnp.broadcast_to((row == 0).astype(jnp.int32), (NL, p))
+        zero = jnp.zeros((NL, p), jnp.int32)
+        pool = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                 (zero, one, one, zero))
+    else:
+        if rc == 1:
+            flat = idx.reshape(-1)
+            g64 = jnp.take(src, flat, axis=0)           # [T*P, 64] int16
+            g64t = g64.astype(jnp.int32).T              # [64, T*P]
+            g = (g64t[0:NL], g64t[NL:2 * NL], g64t[2 * NL:3 * NL])
+            spec = pl.BlockSpec((NL, blk), lambda j, r: (0, r * nb + j),
+                                memory_space=pltpu.VMEM)
+            kernel = partial(_bucket_kernel2d)
+        else:
+            # rounds-leading layout [T, NL, P]: untiled lead dim -> the
+            # kernel fori_loop indexes rounds dynamically.
+            g = _gather_g3(idx, src, t_rounds, p)
+            spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
+                                memory_space=pltpu.VMEM)
+            kernel = partial(_bucket_kernel, r_chunk=rc)
+        pool = pl.pallas_call(
+            kernel,
+            grid=(nb, t_rounds // rc),
+            in_specs=[cspec] + [spec] * 3,
+            out_specs=[ospec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
+            compiler_params=params,
+            interpret=_use_interpret(),
+        )(bias, *g)
 
     # merge split buckets, then gather canonical [NL, M] bucket sums
     merged = _seg_scan(tuple(pool), segid, merge_steps)

@@ -104,3 +104,23 @@ def test_generator_table():
     (got,) = t.msm_many([vec])
     want = core_msm.msm_host(vec, G + H + [pc.B, pc.B_blinding])
     assert got == want
+
+
+def test_chunked_bucket_accumulation(monkeypatch):
+    """Round-chunked accumulation (large-table memory path: accumulator-
+    carrying kernels over sliced gathers) must match the host oracle; the
+    slot budget is shrunk so a small case exercises several chunks."""
+    from bulletproof_gadgets_tpu.ops import msm_serial as ms
+    from bulletproof_gadgets_tpu.core.msm import msm_host
+    from bulletproof_gadgets_tpu.core.gens import BulletproofGens
+    from bulletproof_gadgets_tpu.core.scalar import L
+    import random as _r
+
+    rnd = _r.Random(9)
+    n = 256
+    gens = BulletproofGens(n // 2, 1)
+    pts = gens.G(n // 2) + gens.H(n // 2)
+    src, _ = ms.prep_source(pts)
+    monkeypatch.setattr(ms, "_SLOT_BUDGET", 4096 * 8)
+    ks = [rnd.randrange(L) for _ in range(n)]
+    assert ms.msm_many([ks], src, n)[0] == msm_host(ks, pts)
