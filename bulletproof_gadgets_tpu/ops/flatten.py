@@ -72,12 +72,25 @@ def _zpowers_m(z_m, cidx, uidx, coeff_std, q_pad: int):
 
 @partial(jax.jit, static_argnums=(2,))
 def _scatter(w, tgt, n_targets: int):
-    out = jnp.zeros((n_targets, NW), jnp.int32)
-    for s in range(0, w.shape[0], _SCATTER_CHUNK):
-        part = jnp.zeros((n_targets, NW), jnp.int32).at[
-            tgt[s:s + _SCATTER_CHUNK]].add(w[s:s + _SCATTER_CHUNK])
-        out = flvec.add(out, part)
-    return out
+    """Chunked scatter-add via fori_loop: ONE scatter op in the graph
+    regardless of term count (a Python-unrolled chunk loop put 32 scatter
+    ops in the 2^22-term stress circuit's graph and OOM-killed the remote
+    compiler)."""
+    t = w.shape[0]
+    if t <= _SCATTER_CHUNK:
+        return jnp.zeros((n_targets, NW), jnp.int32).at[tgt].add(w)
+    assert t % _SCATTER_CHUNK == 0, t      # t is a power of two > chunk
+
+    def body(c, out):
+        ws = jax.lax.dynamic_slice(w, (c * _SCATTER_CHUNK, 0),
+                                   (_SCATTER_CHUNK, NW))
+        ts = jax.lax.dynamic_slice(tgt, (c * _SCATTER_CHUNK,),
+                                   (_SCATTER_CHUNK,))
+        part = jnp.zeros((n_targets, NW), jnp.int32).at[ts].add(ws)
+        return flvec.add(out, part)
+
+    return jax.lax.fori_loop(0, t // _SCATTER_CHUNK, body,
+                             jnp.zeros((n_targets, NW), jnp.int32))
 
 
 def flatten(constraints, n: int, m: int, z: int, with_wc: bool):
