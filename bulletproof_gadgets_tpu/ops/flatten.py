@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from . import flvec
-from .fl import mont_mul, NW
+from .fl import mont_mul, NW, R
+from .fp import _redistribute
 from ..core.lc import ONE, COMMITTED, MULT_LEFT, MULT_RIGHT, MULT_OUT
 from ..core.scalar import L
 
@@ -37,6 +38,11 @@ from ..core.scalar import L
 MIN_DEVICE_TERMS = 2048
 
 _SCATTER_CHUNK = 1 << 17        # limbs < 2^13.2; 2^17 rows keeps sums < 2^31
+
+# std limbs of (R mod l): mont_mul(x, R mod l) = x * (R mod l) / R == x
+# (mod l) with output < 2^253 and nearly-normalized limbs — a full lazy
+# reduction used to renormalize scatter accumulations.
+_R_MOD_L = flvec.to_limbs([R % L])[0]
 
 
 def _next_pow2(x: int) -> int:
@@ -75,10 +81,28 @@ def _scatter(w, tgt, n_targets: int):
     """Chunked scatter-add via fori_loop: ONE scatter op in the graph
     regardless of term count (a Python-unrolled chunk loop put 32 scatter
     ops in the 2^22-term stress circuit's graph and OOM-killed the remote
-    compiler)."""
+    compiler).
+
+    Output contract: value < 2^253, nearly-normalized limbs — a legal
+    mont_mul operand for ANY per-target multiplicity.  Raw scatter rows
+    have limbs up to (chunk rows) * 2^13.2 = 2^30.2 and value up to
+    2^17 * 2^253 = 2^270 per chunk, so each chunk is renormalized (two
+    carry passes; capacity 2^273 never reached within a chunk) and the
+    running accumulator is fully reduced below 2^253 via mont_mul by
+    (R mod l) before the next chunk lands (ADVICE r3 items 1 and 2:
+    high-multiplicity rows previously reached downstream mont_mul with
+    unnormalized limbs, and >=2^20-term targets silently dropped the
+    limb-20 carry)."""
     t = w.shape[0]
+    red = jnp.asarray(_R_MOD_L)
+
+    def norm(s):
+        # limbs 2^30.2 -> < 2^13 + 2^5; value unchanged (< 2^270 < 2^273)
+        return _redistribute(s, 2)[..., :NW]
+
     if t <= _SCATTER_CHUNK:
-        return jnp.zeros((n_targets, NW), jnp.int32).at[tgt].add(w)
+        s = jnp.zeros((n_targets, NW), jnp.int32).at[tgt].add(w)
+        return mont_mul(norm(s), red)
     assert t % _SCATTER_CHUNK == 0, t      # t is a power of two > chunk
 
     def body(c, out):
@@ -87,7 +111,8 @@ def _scatter(w, tgt, n_targets: int):
         ts = jax.lax.dynamic_slice(tgt, (c * _SCATTER_CHUNK,),
                                    (_SCATTER_CHUNK,))
         part = jnp.zeros((n_targets, NW), jnp.int32).at[ts].add(ws)
-        return flvec.add(out, part)
+        # out < 2^253 + part < 2^270: one add then full reduction
+        return mont_mul(flvec.add(out, norm(part)), red)
 
     return jax.lax.fori_loop(0, t // _SCATTER_CHUNK, body,
                              jnp.zeros((n_targets, NW), jnp.int32))

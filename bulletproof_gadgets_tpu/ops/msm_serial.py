@@ -251,7 +251,22 @@ def _entries_sorted_packed(digits_t, wt: int, n: int):
     d = digits_t.astype(jnp.int32)
     a = jnp.abs(d)
     sbits = max(1, (2 * n).bit_length())
-    assert NB << sbits < (1 << 31), (n, sbits)
+    if NB << sbits >= (1 << 31):
+        # n >= 2^22: key+src no longer fit one int31 — fall back to the
+        # per-window PAIR sort (same output layout, ~2x the sort bytes)
+        # instead of failing at prove time (ADVICE r3 item 3).
+        key8 = jnp.where(a > 0, a - 1, NB)              # [wt, n]
+        i = jnp.arange(n, dtype=jnp.int32)[None, :]
+        srci = jnp.where(d < 0, i + n, i)
+        sk, svw = jax.lax.sort_key_val(key8, srci, dimension=1)
+        sv = svw.reshape(-1)
+        bounds = jnp.arange(NB + 1, dtype=jnp.int32)
+        loc = jax.vmap(lambda row: jnp.searchsorted(
+            row, bounds, side="left", method="scan_unrolled"))(sk)
+        base = (jnp.arange(wt, dtype=jnp.int32) * n)[:, None]
+        starts = (base + loc[:, :NB]).reshape(-1).astype(jnp.int32)
+        ends = (base + loc[:, 1:]).reshape(-1).astype(jnp.int32)
+        return starts, ends, sv
     key8 = jnp.where(a > 0, a - 1, NB)                  # [wt, n]
     i = jnp.arange(n, dtype=jnp.int32)[None, :]
     srci = jnp.where(d < 0, i + n, i)
@@ -793,15 +808,14 @@ def _launch(sched: "Schedule", src):
 
 def msm_many(vectors, src, n: int):
     """vectors: list of length-n int lists (any residue class mod L);
-    src: prepped source from prep_source.  One device launch."""
+    src: prepped source from prep_source.  One device launch (split along
+    the vector axis when too wide for the VMEM lane pool — the degenerate
+    huge-T hazard flagged by advisor r2 item 4)."""
     digit_blocks = [signed_digits([v % L for v in vec], C)
                     for vec in vectors]
     digits = np.concatenate(digit_blocks, axis=1)       # [n, k*W]
-    if os.environ.get("BPG_TPU_MSM_SCHED", "static") == "static":
-        return _launch_static(
-            jnp.asarray(np.ascontiguousarray(digits.T, dtype=np.int8)),
-            src, n)
-    return _launch(build_schedule(digits, n), src)
+    return msm_many_digits_t(
+        np.ascontiguousarray(digits.T, dtype=np.int8), src, n)
 
 
 def max_stack_k() -> int:
