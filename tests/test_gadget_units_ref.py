@@ -395,3 +395,137 @@ def test_or_conjunction_1():
     or_gadget(v_main, v_recorder)
     v_main.replay_into(verifier)
     assert _verify(verifier, proof, pc, bp)
+
+
+# ---------------------------------------------------------------------------
+# set_membership — reference src/set_membership/set_membership_gadget.rs:176-404
+# (VALUE1..VALUE5 byte vectors verbatim from :143-174)
+
+from bulletproof_gadgets_tpu.models.set_membership import SetMembership
+from bulletproof_gadgets_tpu.models.equality import Equality
+from bulletproof_gadgets_tpu.core.commitments import commit_single
+
+_V1 = bytes.fromhex("0522a64d7b931e21760cf955a15fcc79"
+                    "3e8a52b42a56ab03afddec8beb668749")
+_V2 = bytes.fromhex("07faf8aaa21077200a11576b1cdb402f"
+                    "52a47f192b36998b4da25807a9be52f5")
+_V3 = bytes.fromhex("09243333e374e76e4975ab48ae38241b"
+                    "a67805cd60f1523e9b79a48daac9a84d")
+_V4 = bytes.fromhex("0258647e47e8005748d4e7d0d76b230c"
+                    "c20f2a0f8745eee2bccced0c2add59d5")
+_V5 = bytes.fromhex("011c6fc7f15087f4d3e97e672813af06"
+                    "6f74f60446bc75aa85eb2d6db8ae791b")
+
+
+def _set_membership_case(witness_value, witness_set, instance_set_bytes,
+                         expect_ok):
+    instance_set = [be_to_scalar(b) for b in instance_set_bytes]
+    instance_lcs = [to_lc(s) for s in instance_set]
+    pc = PedersenGens.default()
+    bp = BulletproofGens(64, 1)
+
+    t = Transcript(b"SetMembership")
+    prover = Prover(pc, t)
+    w_scalar, w_com, w_var = commit_single(prover, witness_value)
+    gadget = SetMembership(w_var.lc(), w_scalar, instance_lcs, instance_set)
+    ws_scalars, ws_coms, ws_vars = commit_all_single(prover, witness_set)
+    d_coms, d_wtns = gadget.setup(prover, ws_scalars)
+    gadget.prove(prover, ws_vars, d_wtns)
+    proof = prover.prove(bp)
+
+    t2 = Transcript(b"SetMembership")
+    verifier = Verifier(t2)
+    w_vars = verifier_commit(verifier, [w_com])
+    gadget_v = SetMembership(w_vars[0].lc(), None, instance_lcs, None)
+    ws_vars_v = verifier_commit(verifier, ws_coms)
+    d_vars = verifier_commit(verifier, d_coms)
+    gadget_v.verify(verifier, ws_vars_v, d_vars)
+    assert _verify(verifier, proof, pc, bp) == expect_ok
+
+
+def test_set_membership_gadget_1():
+    # instance-only set (set_membership_gadget.rs:176)
+    _set_membership_case(_V1, [], [_V4, _V3, _V1, _V5, _V2], True)
+
+
+def test_set_membership_gadget_2():
+    # mixed set (rs:221)
+    _set_membership_case(_V1, [_V3, _V5, _V1], [_V4, _V2], True)
+
+
+def test_set_membership_gadget_3():
+    # mixed set, value not a member (rs:259)
+    _set_membership_case(_V1, [_V3, _V5], [_V4, _V2], False)
+
+
+def test_set_membership_gadget_4():
+    # mixed set with a zero witness, value not a member (rs:297)
+    _set_membership_case(_V1, [_V3, _V5, b"\x00", _V2], [_V4, _V2], False)
+
+
+def test_set_membership_gadget_5():
+    # value contained twice -> one-hot sum = 2 -> unsatisfiable (rs:337)
+    _set_membership_case(_V1, [_V3, _V1, _V5], [_V4, _V2, _V1], False)
+
+
+def test_set_membership_gadget_6():
+    # zero member matches the zero witness element (rs:379)
+    _set_membership_case(b"\x00", [_V3, _V5, b"\x00", _V1], [_V4, _V2], True)
+
+
+# ---------------------------------------------------------------------------
+# equality — reference src/equality/equality_gadget.rs:52-198 (byte vectors
+# verbatim; cases 1-3 overlap tests/test_gadget_units.py's generic ones but
+# pin the reference's exact values, case 4 covers prove() with no derived
+# witnesses at all)
+
+_EQ = _V1
+_EQ_DIFF = bytes.fromhex("0522a64d7b931e21760cf95aa15fcc79"
+                         "3e8a52b42a56ab03afddec8beb668749")
+_EQ_LONG = _V1 + bytes.fromhex("3e8a52b42a56ab03afddec8beb668749")
+_EQ_LONG2 = bytes.fromhex("0522a64d7b931e21760cf955a15fcc79"
+                          "3e8a52b42a56ab03afddec8beb668749"
+                          "3e8a52032a56ab03afddec8beb668749")
+
+
+def _equality_case(left_bytes, right_bytes, gens, expect_ok,
+                   with_setup=True):
+    right = [to_lc(s) for s in be_to_scalars(right_bytes)]
+    pc = PedersenGens.default()
+    bp = BulletproofGens(gens, 1)
+
+    t = Transcript(b"Equality")
+    prover = Prover(pc, t)
+    gadget = Equality(right)
+    scalars, w_coms, w_vars = commit(prover, left_bytes)
+    if with_setup:
+        d_coms, d_wtns = gadget.setup(prover, scalars)
+    else:
+        d_coms, d_wtns = [], []
+    gadget.prove(prover, w_vars, d_wtns)
+    proof = prover.prove(bp)
+
+    t2 = Transcript(b"Equality")
+    verifier = Verifier(t2)
+    w_vars_v = verifier_commit(verifier, w_coms)
+    d_vars = verifier_commit(verifier, d_coms)
+    gadget.verify(verifier, w_vars_v, d_vars)
+    assert _verify(verifier, proof, pc, bp) == expect_ok
+
+
+def test_equality_gadget_ref_1():
+    _equality_case(_EQ, _EQ, 1, True)
+
+
+def test_equality_gadget_ref_2():
+    _equality_case(_EQ_DIFF, _EQ, 1, False)
+
+
+def test_equality_gadget_ref_3():
+    # left 1 limb vs right 2 limbs -> 1 = 0 poison (equality_gadget.rs:87)
+    _equality_case(bytes.fromhex("0522a64d7b931e21"), _EQ_LONG, 2, False)
+
+
+def test_equality_gadget_ref_4():
+    # no setup / no derived witnesses at all (equality_gadget.rs:123)
+    _equality_case(_EQ_LONG2, _EQ_LONG2, 2, True, with_setup=False)
