@@ -88,6 +88,7 @@ class InnerProductProof:
             from ..ops import ipa_device
             a_in = [s.v for s in a] if isinstance(a, list) else a
             b_in = [s.v for s in b] if isinstance(b, list) else b
+            import os as _os
             if getattr(table, "mesh", None) is not None:
                 # SP axis: state vectors sharded across the mesh
                 # (parallel/sharded_ipa; falls back internally when the
@@ -98,6 +99,15 @@ class InnerProductProof:
                     transcript, table, w.v % _mod,
                     [s.v for s in G_factors], [s.v for s in H_factors],
                     a_in, b_in, append_point, challenge_scalar)
+            elif _os.environ.get("BPG_TPU_FUSED_IPA", "1") == "1":
+                # Device transcript: compress + Fiat-Shamir + fold all
+                # in-jit, one readback for the whole argument
+                # (ops/ipa_fused; docs/PERFORMANCE.md round-4 #1).
+                from ..ops import ipa_fused
+                L_vec, R_vec, a0, b0 = ipa_fused.create(
+                    transcript, table, w.v % _mod,
+                    [s.v % _mod for s in G_factors],
+                    [s.v % _mod for s in H_factors], a_in, b_in)
             else:
                 L_vec, R_vec, a0, b0 = yield from ipa_device.create_gen(
                     transcript, table, w.v % _mod,

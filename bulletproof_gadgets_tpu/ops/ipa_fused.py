@@ -1,0 +1,170 @@
+"""Fully-device inner-product argument: MSM + compress + Fiat-Shamir fold
+in one jit per round, ZERO per-round host round trips.
+
+Round 3's device IPA (ops/ipa_device.py) kept the coefficient vectors on
+the TPU but still synced every round: the L/R MSM result came back to the
+host to be compressed and absorbed into the Merlin transcript, and the
+challenge went back up — lg(n) blocking tunnel round trips per prove
+(~45% of a warm merkle prove; docs/PERFORMANCE.md round-4 queue #1).
+
+Here the transcript STATE lives on device (ops/strobe_device; byte
+positions are trace-time static), points are compressed on device
+(ops/ristretto_device), and the challenge + its inverse are derived on
+device, so each round is ONE dispatch with no readback.  The Python loop
+dispatches all lg(n) rounds back-to-back (the same cached executable from
+round 2 on) and pays a single readback at the end for the L/R encodings,
+the final a/b, and the static-plan overflow flags.  On (rare) tight-plan
+pool overflow the whole argument re-runs on the safe-bound shape.
+
+Byte/transcript output is identical to the host path (oracle:
+tests/test_ipa_fused.py vs core/ipa.py's host implementation).
+
+Role in the reference stack: dalek inner_product_proof.rs `create`
+(invoked from prover.prove, /root/reference/src/prove.rs:79).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import flvec, msm_serial
+from .fl import mont_mul, NW, R as _R
+from .ipa_device import round_masks, _fold, _scalars
+from .strobe_device import DeviceStrobe, snapshot_host
+from .ristretto_device import (compress_cols, challenge_limbs, to_mont_dev,
+                               inv_mont)
+from ..core.scalar import L
+
+_W = msm_serial.W          # 32 windows
+_NL = msm_serial.NL
+
+
+def _round_fn(state, a, b, gc, hc, u_m, uinv_m, wr2, src,
+              prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i,
+              *, meta, first: bool, n: int, t_rounds: int, p: int,
+              merge_steps: int):
+    """One fused IPA round.  Static: strobe meta, shapes, first-round flag.
+    Returns (state', a', b', gc', hc', u_m', uinv_m', L_bytes, R_bytes,
+    pool)."""
+    if not first:
+        a, b, gc, hc = _fold(a, b, gc, hc, u_m, uinv_m, prev_ga, prev_hi)
+    dig = _scalars(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)  # [64, m]
+    cols = msm_serial._msm_serial_static(
+        dig, src, 2 * _W, n, t_rounds, p, 2, merge_steps)      # [4, NL, 3]
+    pool = cols[0, 0, 2]
+    enc = compress_cols(cols[:, :, :2])                        # [2, 32]
+    ds = DeviceStrobe(state, *meta)
+    ds.append_message(b"L", enc[0])
+    ds.append_message(b"R", enc[1])
+    u64 = ds.challenge_bytes(b"u", 64)
+    u_std = challenge_limbs(u64)
+    u_m2 = to_mont_dev(u_std[None, :])[0]
+    uinv_m2 = inv_mont(u_std)
+    return (ds.state, a, b, gc, hc, u_m2[None, :], uinv_m2[None, :],
+            enc[0], enc[1], pool, ds.meta)
+
+
+_jit_cache = {}
+
+
+def _get_round_jit(meta, first, n, t_rounds, p, merge_steps):
+    key = (meta, first, n, t_rounds, p, merge_steps)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        base = partial(_round_fn, meta=meta, first=first, n=n,
+                       t_rounds=t_rounds, p=p, merge_steps=merge_steps)
+
+        def wrapped(*args):
+            out = base(*args)
+            return out[:-1]                    # meta is static, not traced
+
+        fn = jax.jit(wrapped)
+        # stash the static out-meta by tracing the meta evolution once on
+        # the host (abstractly): DeviceStrobe's pos tracking is pure Python
+        probe = DeviceStrobe(jnp.zeros((200,), jnp.int32), *meta)
+        probe.append_message(b"L", jnp.zeros((32,), jnp.int32))
+        probe.append_message(b"R", jnp.zeros((32,), jnp.int32))
+        probe.challenge_bytes(b"u", 64)
+        fn = (fn, probe.meta)
+        _jit_cache[key] = fn
+    return fn
+
+
+@jax.jit
+def _final_fold_pack(a, b, gc, hc, u_m, uinv_m, ga, hi, Ls, Rs, pools):
+    a, b, gc, hc = _fold(a, b, gc, hc, u_m, uinv_m, ga, hi)
+    flat = jnp.concatenate([
+        Ls.reshape(-1), Rs.reshape(-1), a[0], b[0],
+        pools.reshape(-1)]).astype(jnp.int32)
+    return flat
+
+
+def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
+           replay_host: bool = True):
+    """Full IPA with device transcript.  Same contract as
+    ipa_device.create: returns (L_vec, R_vec, a0, b0); `transcript` is the
+    HOST transcript positioned right after the ipp domain separator — its
+    state is snapshotted to device, and (by default) the L/R absorbs +
+    challenges are replayed into it afterwards so the host object stays
+    consistent for callers that continue using it."""
+    if isinstance(a, list):
+        a = jnp.asarray(flvec.to_limbs([s % L for s in a]))
+    if isinstance(b, list):
+        b = jnp.asarray(flvec.to_limbs([s % L for s in b]))
+    n_full = a.shape[0]
+    assert table.N == n_full
+    m = 2 * n_full + 2
+    masks = round_masks(n_full)
+    lg_n = len(masks)
+
+    gc = jnp.asarray(flvec.to_mont([s % L for s in G_factors]))
+    hc = jnp.asarray(flvec.to_mont([s % L for s in H_factors]))
+    wr2 = jnp.asarray(flvec.to_limbs([w_scalar * _R * _R % L]))[0]
+
+    st0, pos, pb, cf = snapshot_host(transcript)
+
+    for safe in (False, True):
+        t_r, p, steps = msm_serial._static_plan(2 * _W, m, safe=safe)
+        state = jnp.asarray(st0)
+        meta = (pos, pb, cf)
+        a_d, b_d, gc_d, hc_d = a, b, gc, hc
+        u_m = jnp.zeros((1, NW), jnp.int32)
+        uinv_m = jnp.zeros((1, NW), jnp.int32)
+        Ls, Rs, pools = [], [], []
+        for rnd, mk in enumerate(masks):
+            prev = masks[rnd - 1] if rnd else mk
+            (fn, out_meta) = _get_round_jit(meta, rnd == 0, m, t_r, p,
+                                            steps)
+            (state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, Lb, Rb,
+             pool) = fn(state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2,
+                        table.src, prev["ga"], prev["hi"], mk["ga"],
+                        mk["hi"], mk["cs"], mk["lo_i"], mk["hi_i"])
+            meta = out_meta
+            Ls.append(Lb)
+            Rs.append(Rb)
+            pools.append(pool)
+        flat = _final_fold_pack(a_d, b_d, gc_d, hc_d, u_m, uinv_m,
+                                masks[-1]["ga"], masks[-1]["hi"],
+                                jnp.stack(Ls), jnp.stack(Rs),
+                                jnp.stack(pools))
+        out = np.asarray(flat)                  # THE one readback
+        pools_np = out[2 * 32 * lg_n + 2 * NW:]
+        if (pools_np < p).all():
+            break
+        # tight-plan overflow: redo on the safe shape (recompiles once)
+
+    L_vec = [bytes(out[32 * i:32 * i + 32].astype(np.uint8))
+             for i in range(lg_n)]
+    off = 32 * lg_n
+    R_vec = [bytes(out[off + 32 * i:off + 32 * i + 32].astype(np.uint8))
+             for i in range(lg_n)]
+    off = 64 * lg_n
+    a0, b0 = flvec.limbs_to_ints(out[off:off + 2 * NW].reshape(2, NW))
+
+    if replay_host:
+        for Lb, Rb in zip(L_vec, R_vec):
+            transcript.append_message(b"L", Lb)
+            transcript.append_message(b"R", Rb)
+            transcript.challenge_bytes(b"u", 64)
+    return L_vec, R_vec, a0, b0

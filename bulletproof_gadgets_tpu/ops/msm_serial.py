@@ -369,16 +369,12 @@ def _static_plan(wt: int, n: int, safe: bool = False):
     return t, p_pad, steps
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
-                       p: int, k: int, merge_steps: int):
-    """Digits -> points in ONE device program: sort, schedule, bucket
-    pipeline.  No host planning, no data-dependent shapes.
-
-    Returns [4, NL, k+1]: the first k columns are the extended points, the
-    extra column carries the actual pool size in limb (0, 0) so the host
-    can detect tight-plan overflow from the SAME readback (zero extra round
-    trips; see _static_plan/_launch_static)."""
+def _static_schedule(digits_t, wt: int, n: int, t_rounds: int, p: int):
+    """Shape-static on-device schedule construction: digits -> (idx [T, P],
+    segid [P], last_pos [M], pool scalar).  Shared by the single-device
+    static path (_msm_serial_static) and the sharded table
+    (parallel/sharded_serial — each shard builds its local schedule inside
+    the shard_map body, no host planning)."""
     m = wt * NB
     starts, ends, sv = _entries_sorted_packed(digits_t, wt, n)
     counts = ends - starts                              # [m]
@@ -412,6 +408,21 @@ def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
     rank = base0[None, :] + jnp.arange(t_rounds, dtype=jnp.int32)[:, None]
     valid = (segid[None, :] < m) & (rank < end[None, :])
     idx = jnp.where(valid, picked.T, 2 * n)
+    return idx, segid, last_pos, pool
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
+                       p: int, k: int, merge_steps: int):
+    """Digits -> points in ONE device program: sort, schedule, bucket
+    pipeline.  No host planning, no data-dependent shapes.
+
+    Returns [4, NL, k+1]: the first k columns are the extended points, the
+    extra column carries the actual pool size in limb (0, 0) so the host
+    can detect tight-plan overflow from the SAME readback (zero extra round
+    trips; see _static_plan/_launch_static)."""
+    idx, segid, last_pos, pool = _static_schedule(digits_t, wt, n,
+                                                  t_rounds, p)
     cols = _pipeline(idx, segid, last_pos, src, k, merge_steps)
     extra = jnp.zeros((4, NL, 1), jnp.int32).at[0, 0, 0].set(pool)
     return jnp.concatenate([cols, extra], axis=2)

@@ -13,9 +13,11 @@ final points.  Window sums over disjoint point subsets combine exactly
 single-device proofs (asserted by __graft_entry__.dryrun_multichip and
 tests/test_sharded_serial.py).
 
-Scheduling stays on the host: each shard's digit slice gets its own
-balanced schedule, padded to the max (T, P) over shards so every device
-executes the same compiled shape (SPMD).
+Scheduling is built per shard INSIDE the shard_map body (static (T, P)
+from (kW, mloc) alone — ops/msm_serial._static_schedule), so all shards
+execute one compiled SPMD shape with zero host planning; the round-3 host
+scheduler (per-shard C passes + idx uploads, the +34% D=1 overhead of
+SCALING.md §4) remains available via BPG_TPU_SHARD_SCHED=host.
 
 Reference analogue: this partitions the MSM inside prover.prove /
 verifier.verify (/root/reference/src/prove.rs:79, src/verify.rs:71) —
@@ -30,10 +32,13 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+import os
+
 from ..ops import msm_serial
 from ..ops.msm_serial import (
     Schedule, build_schedule_t, prep_source, _window_sums_part,
-    _horner_part, _points_from_cols, _ROUND_PAD, _LANE_PAD, NB, W, C)
+    _horner_part, _points_from_cols, _static_plan, _static_schedule,
+    _ROUND_PAD, _LANE_PAD, NB, W, C)
 from ..ops.pallas_curve import padd_cols
 from ..ops.msm import signed_digits
 from ..core.scalar import L
@@ -167,8 +172,68 @@ class ShardedGeneratorTable:
         cols = horner_fn(ws_fn(idx, segid, lastp, self.src_sharded))
         return _points_from_cols(cols, k)
 
+    # -- static in-jit scheduling (round 4) ---------------------------------
+    # Round 3 built per-shard schedules on the HOST (two C passes + a
+    # [T, P] idx upload per shard) while the single-device path had moved
+    # fully on device — the +34% D=1 sharded overhead of SCALING.md §4.
+    # Here each shard builds its own schedule INSIDE the shard_map body
+    # via ops/msm_serial._static_schedule: (T, P) depends only on
+    # (kW, mloc), so every shard compiles/executes the same static shape
+    # (SPMD), and per-MSM host work drops to one sharded digit transfer.
+
+    def _static_fn(self, kw: int, t: int, p: int, merge_steps: int):
+        key = ("static", kw, t, p, merge_steps)
+        fn = self._fns.get(key)
+        if fn is None:
+            k = kw // W
+            mloc = self.mloc
+
+            @partial(shard_map, mesh=self.mesh,
+                     in_specs=(P(None, "shard"), P("shard", None, None)),
+                     out_specs=(P(None, None, None), P()),
+                     check_rep=False)
+            def f(dig_l, src_l):
+                idx, segid, lastp, pool = _static_schedule(
+                    dig_l, kw, mloc, t, p)
+                ws = _window_sums_part(idx, segid, lastp, src_l[0], k,
+                                       merge_steps)
+                stacked = jnp.stack(ws)                       # [4, NL, kW]
+                gathered = jax.lax.all_gather(stacked, "shard")
+                parts = tuple(gathered[:, i] for i in range(4))
+                total = _combine_ws(parts)
+                pool_max = jax.lax.pmax(pool, "shard")
+                return jnp.stack(total), pool_max
+
+            fn = (jax.jit(f), self._horner_fn(k))
+            self._fns[key] = fn
+        return fn
+
+    def _run_static(self, digits_t):
+        kw = digits_t.shape[0]
+        pad_cols = self.D * self.mloc - self.m
+        if isinstance(digits_t, np.ndarray):
+            if pad_cols:
+                digits_t = np.concatenate(
+                    [digits_t, np.zeros((kw, pad_cols), digits_t.dtype)],
+                    axis=1)
+            digits_t = jnp.asarray(digits_t)
+        elif pad_cols:
+            digits_t = jnp.pad(digits_t, ((0, 0), (0, pad_cols)))
+        dig = jax.device_put(digits_t,
+                             NamedSharding(self.mesh, P(None, "shard")))
+        for safe in (False, True):
+            t, p, steps = _static_plan(kw, self.mloc, safe=safe)
+            ws_fn, horner_fn = self._static_fn(kw, t, p, steps)
+            total, pool = ws_fn(dig, self.src_sharded)
+            cols = horner_fn(total)
+            if int(np.asarray(pool)) < p:
+                break
+        return _points_from_cols(cols, kw // W)
+
     # -- public API (GeneratorTable-compatible) ------------------------------
     def msm_digits(self, digits_t):
+        if os.environ.get("BPG_TPU_SHARD_SCHED", "static") == "static":
+            return self._run_static(digits_t)
         d = np.asarray(digits_t)
         scheds, merge_steps = self._schedules(d)
         return self._run(scheds, merge_steps)

@@ -1,0 +1,54 @@
+"""Fused device-transcript IPA (ops/ipa_fused) vs the host path:
+byte-identical L/R points, challenges, final a/b, and host-transcript
+consistency after the replay."""
+import numpy as np
+import pytest
+
+from bulletproof_gadgets_tpu.core.gens import PedersenGens, BulletproofGens
+from bulletproof_gadgets_tpu.core.scalar import Scalar, L, exp_iter
+from bulletproof_gadgets_tpu.core.ipa import InnerProductProof
+from bulletproof_gadgets_tpu.core.transcript import innerproduct_domain_sep
+from bulletproof_gadgets_tpu.utils.merlin import new_transcript, Transcript
+from bulletproof_gadgets_tpu.ops import msm_serial, ipa_fused
+
+
+def _rand_scalars(n, seed):
+    rng = np.random.default_rng(seed)
+    return [Scalar(int.from_bytes(rng.bytes(32), "little") % L)
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("n", [2, 8, 32])
+@pytest.mark.parametrize("native", [False, True])
+def test_fused_ipa_matches_host(n, native):
+    pc = PedersenGens.default()
+    bp = BulletproofGens(n)
+    G, H = list(bp.G(n)), list(bp.H(n))
+    a = _rand_scalars(n, 1)
+    b = _rand_scalars(n, 2)
+    y_inv = _rand_scalars(1, 3)[0]
+    G_factors = [Scalar(1)] * n
+    H_factors = exp_iter(y_inv, n)
+    w = _rand_scalars(1, 4)[0]
+    Q = pc.B.scalar_mul(w.v)
+
+    t_host = Transcript(b"ipa-fused-test")
+    host = InnerProductProof.create(
+        t_host, Q, list(G_factors), list(H_factors),
+        list(G), list(H), list(a), list(b))
+
+    table = msm_serial.GeneratorTable(G, H, pc.B, pc.B_blinding)
+    t_dev = (new_transcript if native else Transcript)(b"ipa-fused-test")
+    innerproduct_domain_sep(t_dev, n)
+    L_vec, R_vec, a0, b0 = ipa_fused.create(
+        t_dev, table, w.v % L,
+        [s.v % L for s in G_factors], [s.v % L for s in H_factors],
+        [s.v for s in a], [s.v for s in b])
+
+    assert L_vec == host.L_vec
+    assert R_vec == host.R_vec
+    assert a0 == host.a.v % L
+    assert b0 == host.b.v % L
+    # host transcript replay left t_dev in the identical state
+    assert t_host.challenge_bytes(b"x", 32) == \
+        t_dev.challenge_bytes(b"x", 32)
