@@ -148,7 +148,7 @@ class Prover:
         self.constrain(right)
         return l_var, r_var, o_var
 
-    def allocate_multiplier(self, assignment):
+    def allocate_multiplier(self, assignment, _bit_source=None):
         if assignment is None:
             raise R1CSError("missing assignment")
         l, r = assignment
@@ -446,7 +446,7 @@ class Verifier:
         self.constrain(right)
         return l_var, r_var, o_var
 
-    def allocate_multiplier(self, _assignment=None):
+    def allocate_multiplier(self, _assignment=None, _bit_source=None):
         i = self.num_vars
         self.num_vars += 1
         return (Variable(MULT_LEFT, i), Variable(MULT_RIGHT, i),

@@ -41,13 +41,17 @@ class RecordingCS:
         self.operation_buffer.append((OP_MULTIPLY, (left, right)))
         return self._mint()
 
-    def allocate_multiplier(self, assignment):
+    def allocate_multiplier(self, assignment, _bit_source=None):
+        """_bit_source: optional (scalar, bit_index) recipe threaded by
+        range_proof so lang/template can replay the allocation for a new
+        witness (bit extraction from the re-committed scalar)."""
         if self.prover_mode:
             if assignment is None:
                 raise R1CSError("missing assignment")
-            self.operation_buffer.append((OP_ALLOCATE, assignment))
+            self.operation_buffer.append(
+                (OP_ALLOCATE, (assignment, _bit_source)))
         else:
-            self.operation_buffer.append((OP_ALLOCATE, None))
+            self.operation_buffer.append((OP_ALLOCATE, (None, _bit_source)))
         return self._mint()
 
     def constrain(self, lc):
@@ -91,7 +95,7 @@ class RecordingCS:
                 left, right = payload
                 cs.multiply(left, right)
             elif op == OP_ALLOCATE:
-                cs.allocate_multiplier(payload)
+                cs.allocate_multiplier(payload[0])
             elif op == OP_CONSTRAIN:
                 cs.constrain(payload)
             # OP_COMMIT: nop — commits were applied to the main CS live.

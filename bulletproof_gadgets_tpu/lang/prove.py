@@ -28,6 +28,7 @@ from .ast import (get_gadget_op, OR, HASH, BOUND, MERKLE, LESS_THAN, EQUALS,
                   UNEQUAL, SET_MEMBER, ARRAY_END, BLOCK_END)
 from .assignments import Assignments, assert_32, assert_witness_32
 from . import parser
+from . import template
 
 
 def round_pow2(num: int) -> int:
@@ -35,6 +36,14 @@ def round_pow2(num: int) -> int:
     if num <= 1:
         return 1
     return 1 << math.ceil(math.log2(num))
+
+
+def _gprove(gadget, recorder, variables, wtns):
+    """gadget.prove unless the recorder is in template-hit mode (the
+    constraint structure is cached; only setup side effects run)."""
+    if getattr(recorder, "skip_assembly", False):
+        return
+    gadget.prove(recorder, variables, wtns)
 
 
 def commit_single(prover, witness: bytes):
@@ -51,7 +60,12 @@ def prove_prepared(name: str, instance: str, witness: str, gadgets: str,
     parsing, witness commitments, gadget assembly, buffer replay, gens
     sizing.  Returns (prover, bp_gens, num_constraints) so callers can run
     the proof phase themselves — lang.batch drives many prepared provers in
-    lockstep over combined MSM launches."""
+    lockstep over combined MSM launches.
+
+    The constraint structure is cached per (gadgets, instance,
+    witness-shape): on a hit, gadget assembly and replay are skipped
+    entirely — setup/commit side effects still run live, assignments are
+    evaluated from the cached multiplier programs (lang/template)."""
     transcript = Transcript(name.encode())
     pc_gens = PedersenGens.default()
     prover = Prover(pc_gens, transcript)
@@ -60,7 +74,15 @@ def prove_prepared(name: str, instance: str, witness: str, gadgets: str,
     assignments.parse_instance(instance)
     assignments.parse_witness(witness, prover, coms_out)
 
+    cache_key = None
+    tmpl = None
+    if template.enabled():
+        cache_key = (gadgets, instance, template.witness_shape(witness))
+        tmpl = template.prover_cache.get(cache_key)
+
     recorder = RecordingCS(prover_mode=True)
+    if tmpl is not None:
+        recorder.skip_assembly = True
 
     lines = _peekable(enumerate(gadgets.splitlines()))
     while lines.peek() is not None:
@@ -70,7 +92,14 @@ def prove_prepared(name: str, instance: str, witness: str, gadgets: str,
                            coms_out, local_initialization)
         _parse_gadget(line, assignments, prover, recorder, index, coms_out)
 
-    recorder.replay_into(prover)
+    if tmpl is not None:
+        tmpl.fill_assignments(prover)
+    else:
+        recorder.replay_into(prover)
+        if cache_key is not None:
+            built = template.build_prover_template(recorder, prover)
+            if built is not None:
+                template.prover_cache.put(cache_key, built)
 
     num_constraints = prover.num_constraints()
     bp_gens = BulletproofGens(round_pow2(prover.get_num_multiplications()), 1)
@@ -150,6 +179,7 @@ def _or_conjunction(lines, assignments, prover, parent_recorder, coms_out,
     scoped RecordingCS whose multiplier counter is initialized from the
     ancestor op logs."""
     recorder = RecordingCS(prover_mode=True)
+    recorder.skip_assembly = getattr(parent_recorder, "skip_assembly", False)
     recorder.initialize_from(initialization)
 
     if lines.peek() is None:
@@ -171,7 +201,8 @@ def _or_conjunction(lines, assignments, prover, parent_recorder, coms_out,
                           coms_out)
 
     _add_commitments_to_parent(parent_recorder, recorder)
-    or_gadget(parent_recorder, recorder)
+    if not getattr(recorder, "skip_assembly", False):
+        or_gadget(parent_recorder, recorder)
 
 
 def _add_commitments_to_parent(parent, buffer):
@@ -200,7 +231,7 @@ def _hash_witness(prover, recorder, var, assignments, index, subroutine,
     hash_gadget = MimcHash256(image_var.lc())
     derived_coms, derived_wtns = hash_gadget.setup(prover, preimage_scalars)
     recorder.commit_drvd(derived_wtns)
-    hash_gadget.prove(recorder, preimage_vars, derived_wtns)
+    _gprove(hash_gadget, recorder, preimage_vars, derived_wtns)
     hash_commitments.extend(derived_coms)
 
     assignments.cache_derived_wtns(derived_wtns)
@@ -225,7 +256,7 @@ def _bounds_check_gadget(line, assignments, prover, recorder, index,
     gadget = BoundsCheck(mn_b, mx_b)
     derived_coms, derived_wtns = gadget.setup(prover, witness[0])
     recorder.commit_drvd(derived_wtns)
-    gadget.prove(recorder, witness[2], derived_wtns)
+    _gprove(gadget, recorder, witness[2], derived_wtns)
 
     assignments.cache_derived_wtns(derived_wtns)
     assignments.parse_derived_witness(derived_coms, index, 0, coms_out)
@@ -245,7 +276,7 @@ def _mimc_hash_gadget(line, assignments, prover, recorder, index, coms_out):
     gadget = MimcHash256(image_lc)
     derived_coms, derived_wtns = gadget.setup(prover, preimage_w[0])
     recorder.commit_drvd(derived_wtns)
-    gadget.prove(recorder, preimage_w[2], derived_wtns)
+    _gprove(gadget, recorder, preimage_w[2], derived_wtns)
 
     assignments.cache_derived_wtns(derived_wtns)
     assignments.parse_derived_witness(derived_coms, index, 0, coms_out)
@@ -271,7 +302,7 @@ def _merkle_tree_gadget(line, assignments, prover, recorder, index,
         witness_lcs.append(var.lc())
 
     gadget = MerkleTree256(root_lc, instance_lcs, witness_lcs, pattern)
-    gadget.prove(recorder, [], [])
+    _gprove(gadget, recorder, [], [])
 
 
 def _equality_gadget(line, assignments, recorder):
@@ -285,7 +316,7 @@ def _equality_gadget(line, assignments, recorder):
             assignments.get_instance(right, None))]
 
     gadget = Equality(right_lcs)
-    gadget.prove(recorder, left_vars, [])
+    _gprove(gadget, recorder, left_vars, [])
 
 
 def _less_than_gadget(line, assignments, prover, recorder, index, coms_out):
@@ -299,7 +330,7 @@ def _less_than_gadget(line, assignments, prover, recorder, index, coms_out):
                       right_vars[0].lc(), right_scalars[0])
     derived_coms, derived_wtns = gadget.setup(prover, [])
     recorder.commit_drvd(derived_wtns)
-    gadget.prove(recorder, [], derived_wtns)
+    _gprove(gadget, recorder, [], derived_wtns)
 
     assignments.cache_derived_wtns(derived_wtns)
     assignments.parse_derived_witness(derived_coms, index, 0, coms_out)
@@ -319,7 +350,7 @@ def _inequality_gadget(line, assignments, prover, recorder, index, coms_out):
     gadget = Inequality(right_lcs, right_scalars)
     derived_coms, derived_wtns = gadget.setup(prover, left_w[0])
     recorder.commit_drvd(derived_wtns)
-    gadget.prove(recorder, left_w[2], derived_wtns)
+    _gprove(gadget, recorder, left_w[2], derived_wtns)
 
     assignments.cache_derived_wtns(derived_wtns)
     assignments.parse_derived_witness(derived_coms, index, 0, coms_out)
@@ -393,7 +424,7 @@ def _set_membership_gadget(line, assignments, prover, recorder, index,
                            instance_set_scalars)
     derived_coms, derived_wtns = gadget.setup(prover, witness_set_scalars)
     recorder.commit_drvd(derived_wtns)
-    gadget.prove(recorder, witness_set_vars, derived_wtns)
+    _gprove(gadget, recorder, witness_set_vars, derived_wtns)
 
     assignments.cache_derived_wtns(derived_wtns)
     assignments.parse_derived_witness(derived_coms, index, 0, coms_out)

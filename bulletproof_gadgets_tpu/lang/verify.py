@@ -28,6 +28,7 @@ from .ast import (get_gadget_op, OR, HASH, BOUND, MERKLE, LESS_THAN, EQUALS,
 from .assignments import Assignments, assert_32
 from .prove import round_pow2, _peekable
 from . import parser
+from . import template
 
 
 def verify(name: str, instance: str, proof_bytes: bytes, commitments: str,
@@ -44,15 +45,32 @@ def verify(name: str, instance: str, proof_bytes: bytes, commitments: str,
         assignments.parse_instance(instance)
         assignments.parse_commitments(commitments, verifier)
 
-        lines = _peekable(enumerate(gadgets.splitlines()))
-        while lines.peek() is not None:
-            index, line = lines.next()
-            local_initialization = [list(recorder.buffer())]
-            _parse_conjunction(lines, line, assignments, recorder,
-                               local_initialization)
-            _parse_gadget(line, assignments, recorder, index)
+        # verifier-side template cache: the reconstructed constraint
+        # system is a pure function of (gadgets, instance, commitment-key
+        # structure) — on a hit the whole gadget loop is skipped
+        cache_key = None
+        tmpl = None
+        if template.enabled():
+            cache_key = (gadgets, instance,
+                         template.commitment_shape(commitments))
+            tmpl = template.verifier_cache.get(cache_key)
 
-        recorder.replay_into(verifier)
+        if tmpl is not None:
+            tmpl.apply(verifier)
+        else:
+            lines = _peekable(enumerate(gadgets.splitlines()))
+            while lines.peek() is not None:
+                index, line = lines.next()
+                local_initialization = [list(recorder.buffer())]
+                _parse_conjunction(lines, line, assignments, recorder,
+                                   local_initialization)
+                _parse_gadget(line, assignments, recorder, index)
+
+            recorder.replay_into(verifier)
+            if cache_key is not None:
+                template.verifier_cache.put(
+                    cache_key, template.VerifierTemplate(
+                        verifier.constraints, verifier.num_vars))
 
         bp_gens = BulletproofGens(round_pow2(verifier.get_num_vars()), 1)
         verifier.verify(proof, pc_gens, bp_gens)

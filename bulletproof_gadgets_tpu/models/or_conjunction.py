@@ -23,7 +23,8 @@ def or_gadget(main_cs, buffer):
                 left, right = payload
                 main_cs.multiply(left, right)
             elif op == OP_ALLOCATE:
-                main_cs.allocate_multiplier(payload)
+                main_cs.allocate_multiplier(payload[0],
+                                            _bit_source=payload[1])
             elif op == OP_CONSTRAIN:
                 constraints.append(payload)
             elif op == OP_COMMIT:

@@ -15,7 +15,12 @@ def range_proof(cs, x_lc, n: int, x_assignment):
             assignment = (Scalar.from_int(1 - bit), Scalar.from_int(bit))
         else:
             assignment = None
-        a, b, o = cs.allocate_multiplier(assignment)
+        # recipe for the circuit-template cache (lang/template): this
+        # multiplier is bit i of x_assignment
+        a, b, o = cs.allocate_multiplier(
+            assignment,
+            _bit_source=(x_assignment, i) if x_assignment is not None
+            else None)
         # o = a*b = 0 -> one of (a, b) is zero
         cs.constrain(o.lc())
         # a = 1 - b -> both are bits
