@@ -66,18 +66,24 @@ _ROUND_PAD = 8            # rounds padded to a multiple (bounds jit shapes;
                           # needs — 32 cost small tables up to 3x excess
                           # rounds and large ones ~6%)
 _LANE_PAD = 4096          # pool lanes padded to a multiple of the kernel block
-_LANE_PAD_TIGHT = 1024    # finer padding for the tight static plan
+_LANE_PAD_TIGHT = 512     # finer padding for the tight static plan
 _POOL_CAP = 49152         # VMEM pool-width cap (lanes)
 
 
+_SIGMA = float(os.environ.get("BPG_TPU_MSM_SIGMA", "2.5"))
+
+
 def _select_t(total: int, m: int, pool_of_t, lane_pad: int):
-    """Round budget T (mean + 3*sigma heuristic, padded, doubled while the
-    padded pool exceeds the VMEM cap) and the resulting padded pool width.
-    pool_of_t(t) -> unpadded pool size for a candidate T.  Shared by the
-    dynamic (_plan) and static (_static_plan) planners so the two cannot
-    drift (advisor r2)."""
+    """Round budget T (mean + SIGMA*sqrt(mean) heuristic, padded, doubled
+    while the padded pool exceeds the VMEM cap) and the resulting padded
+    pool width.  pool_of_t(t) -> unpadded pool size for a candidate T.
+    Shared by the dynamic (_plan) and static (_static_plan) planners so
+    the two cannot drift (advisor r2).  SIGMA trades round-budget padding
+    against split-overflow risk: the tight static plan re-runs on the safe
+    shape on overflow, so 2.5 is a latency bet, not a correctness bound
+    (BPG_TPU_MSM_SIGMA overrides)."""
     mean = max(1.0, total / m)
-    t = int(np.ceil(mean + 3.0 * np.sqrt(mean)))
+    t = int(np.ceil(mean + _SIGMA * np.sqrt(mean)))
     t = -(-t // _ROUND_PAD) * _ROUND_PAD
     while True:
         pool = pool_of_t(t)
@@ -359,7 +365,7 @@ def _static_plan(wt: int, n: int, safe: bool = False):
         t, p_pad = _select_t(total, m, lambda tt: m + -(-total // tt),
                              _LANE_PAD)
     else:
-        slack = 512 + (m >> 4)
+        slack = 128 + (m >> 5)
         t, p_pad = _select_t(
             total, m, lambda tt: max(m, -(-total // tt)) + slack,
             _LANE_PAD_TIGHT)
@@ -627,13 +633,13 @@ _BLK = 4096               # bucket-kernel lane block (~3.2 MB VMEM)
 
 def _blk_for(p: int) -> int:
     """Largest lane block <= _BLK dividing p (p is a multiple of
-    _LANE_PAD_TIGHT by construction; 1024 always divides)."""
+    _LANE_PAD_TIGHT by construction; 512 always divides)."""
     if p <= _BLK:
         return p
-    for b in (4096, 3072, 2048, 1024):
+    for b in (4096, 3072, 2048, 1536, 1024, 512):
         if p % b == 0:
             return b
-    raise AssertionError(f"pool width {p} not a multiple of 1024")
+    raise AssertionError(f"pool width {p} not a multiple of 512")
 
 
 def _r_chunk(t_rounds: int) -> int:
