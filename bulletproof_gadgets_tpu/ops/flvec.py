@@ -159,6 +159,45 @@ def digits_device(x):
     return _digits_device_jit(x)
 
 
+_digits13_device_jit = None
+
+
+def digits13_device(x):
+    """Device c=13 digit recode: [..., NW] limbs (value < 2^253, any rep
+    mod l) -> [20, ...] int16 signed base-8192 digits, window-leading.
+    The 13-bit window width IS the limb width, so digits are just the
+    exactly-normalized limbs with a signed recode — no byte extraction
+    (the c=8 path's per-byte gather) at all."""
+    global _digits13_device_jit
+    if _digits13_device_jit is None:
+        import jax
+        _digits13_device_jit = jax.jit(_digits13_device_impl)
+    return _digits13_device_jit(x)
+
+
+def _digits13_device_impl(x):
+    import jax
+
+    xs = jnp.moveaxis(x, -1, 0)                     # [NW, ...]
+
+    def carry_step(c, limb):
+        v = limb + c
+        return v >> B, v & MASK
+
+    _, limbs = jax.lax.scan(carry_step, jnp.zeros_like(xs[0]), xs)
+
+    half = 1 << (B - 1)
+
+    def recode(c, d):
+        v = d + c
+        cc = (v >= half).astype(v.dtype)
+        return cc, v - (cc << B)
+
+    # value < 2^253 => limb 20 is zero and limb 19 < 2^6 absorbs the carry
+    _, sdig = jax.lax.scan(recode, jnp.zeros_like(limbs[0]), limbs[:20])
+    return sdig.astype(jnp.int16)
+
+
 def _digits_device_impl(x):
     import jax
 

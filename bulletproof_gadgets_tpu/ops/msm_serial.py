@@ -56,10 +56,21 @@ from ..core.ristretto import (RistrettoPoint, batch_normalize, P as _P,
 from .. import native
 
 NL = fp.NL
-C = 8                     # window width (fixed: digit recode is byte-wise)
+C = 8                     # default window width (byte-wise digit recode)
 NB = 1 << (C - 1)         # 128 buckets per window
 W = 32 * 8 // C           # 32 windows per 256-bit scalar
 _2D = 2 * _D % _P
+
+# Alternative window widths for the static device path.  c=13 matches the
+# F_l limb width (ops/fl.py): device digits are the normalized limbs with a
+# signed recode (flvec.digits13_device), 20 windows instead of 32 -> ~1.6x
+# fewer bucket additions, at the cost of 32x more bucket lanes (the pool
+# floor m = w * 2^(c-1) dominates below n ~ 2^16, so c=13 is a LARGE-table
+# setting).  (c, buckets/window, windows, log2 bucket-scan steps, pool cap)
+_WIN = {
+    8: (8, 128, 32, 7, 49152),
+    13: (13, 4096, 20, 12, 131072),
+}
 
 _ROUND_PAD = 8            # rounds padded to a multiple (bounds jit shapes;
                           # 8 = the Mosaic block-dim granularity _r_chunk
@@ -73,7 +84,8 @@ _POOL_CAP = 49152         # VMEM pool-width cap (lanes)
 _SIGMA = float(os.environ.get("BPG_TPU_MSM_SIGMA", "2.5"))
 
 
-def _select_t(total: int, m: int, pool_of_t, lane_pad: int):
+def _select_t(total: int, m: int, pool_of_t, lane_pad: int,
+              cap: int = _POOL_CAP):
     """Round budget T (mean + SIGMA*sqrt(mean) heuristic, padded, doubled
     while the padded pool exceeds the VMEM cap) and the resulting padded
     pool width.  pool_of_t(t) -> unpadded pool size for a candidate T.
@@ -88,14 +100,14 @@ def _select_t(total: int, m: int, pool_of_t, lane_pad: int):
     while True:
         pool = pool_of_t(t)
         p_pad = -(-(pool + 1) // lane_pad) * lane_pad
-        if p_pad <= _POOL_CAP or t >= total:
+        if p_pad <= cap or t >= total:
             break
         t *= 2
-    if p_pad > _POOL_CAP:
+    if p_pad > cap:
         import warnings
         warnings.warn(
-            f"MSM schedule pool {p_pad} exceeds the VMEM lane cap "
-            f"{_POOL_CAP} even at T={t} (total={total}, m={m}); the kernel "
+            f"MSM schedule pool {p_pad} exceeds the lane cap "
+            f"{cap} even at T={t} (total={total}, m={m}); the kernel "
             "will compile but with a degenerate round count", stacklevel=3)
     return t, p_pad
 
@@ -240,8 +252,8 @@ class DeviceSchedule:
         self.p = p
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _entries_sorted_packed(digits_t, wt: int, n: int):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _entries_sorted_packed(digits_t, wt: int, n: int, nb: int = NB):
     """Packed per-window variant of _entries_sorted for the static path.
 
     The flat pair-sort of wt*n (key, src) int32 pairs was 42% of the whole
@@ -257,33 +269,33 @@ def _entries_sorted_packed(digits_t, wt: int, n: int):
     d = digits_t.astype(jnp.int32)
     a = jnp.abs(d)
     sbits = max(1, (2 * n).bit_length())
-    if NB << sbits >= (1 << 31):
+    if nb << sbits >= (1 << 31):
         # n >= 2^22: key+src no longer fit one int31 — fall back to the
         # per-window PAIR sort (same output layout, ~2x the sort bytes)
         # instead of failing at prove time (ADVICE r3 item 3).
-        key8 = jnp.where(a > 0, a - 1, NB)              # [wt, n]
+        key8 = jnp.where(a > 0, a - 1, nb)              # [wt, n]
         i = jnp.arange(n, dtype=jnp.int32)[None, :]
         srci = jnp.where(d < 0, i + n, i)
         sk, svw = jax.lax.sort_key_val(key8, srci, dimension=1)
         sv = svw.reshape(-1)
-        bounds = jnp.arange(NB + 1, dtype=jnp.int32)
+        bounds = jnp.arange(nb + 1, dtype=jnp.int32)
         loc = jax.vmap(lambda row: jnp.searchsorted(
             row, bounds, side="left", method="scan_unrolled"))(sk)
         base = (jnp.arange(wt, dtype=jnp.int32) * n)[:, None]
-        starts = (base + loc[:, :NB]).reshape(-1).astype(jnp.int32)
+        starts = (base + loc[:, :nb]).reshape(-1).astype(jnp.int32)
         ends = (base + loc[:, 1:]).reshape(-1).astype(jnp.int32)
         return starts, ends, sv
-    key8 = jnp.where(a > 0, a - 1, NB)                  # [wt, n]
+    key8 = jnp.where(a > 0, a - 1, nb)                  # [wt, n]
     i = jnp.arange(n, dtype=jnp.int32)[None, :]
     srci = jnp.where(d < 0, i + n, i)
     packed = (key8 << sbits) | srci
     (ps,) = jax.lax.sort((packed,), dimension=1)
     sv = (ps & ((1 << sbits) - 1)).reshape(-1)
-    bounds = (jnp.arange(NB + 1, dtype=jnp.int32) << sbits)
+    bounds = (jnp.arange(nb + 1, dtype=jnp.int32) << sbits)
     loc = jax.vmap(lambda row: jnp.searchsorted(
         row, bounds, side="left", method="scan_unrolled"))(ps)  # [wt, NB+1]
     base = (jnp.arange(wt, dtype=jnp.int32) * n)[:, None]
-    starts = (base + loc[:, :NB]).reshape(-1).astype(jnp.int32)
+    starts = (base + loc[:, :nb]).reshape(-1).astype(jnp.int32)
     ends = (base + loc[:, 1:]).reshape(-1).astype(jnp.int32)
     return starts, ends, sv
 
@@ -345,7 +357,7 @@ def build_schedule_device(digits_t_dev, n: int) -> "DeviceSchedule":
 # BPG_TPU_MSM_SCHED=readback to restore the dynamic-shape path.
 
 
-def _static_plan(wt: int, n: int, safe: bool = False):
+def _static_plan(wt: int, n: int, safe: bool = False, c: int = C):
     """(T, P, merge_steps) from shape alone.
 
     safe=False (default): TIGHT pool bound max(m, total/T) + slack.  The
@@ -359,30 +371,32 @@ def _static_plan(wt: int, n: int, safe: bool = False):
     re-runs on the safe shape (_launch_static).
 
     safe=True: the r2 bound m + total/T, valid for ANY digit values."""
-    m = wt * NB
+    nb, cap = _WIN[c][1], _WIN[c][4]
+    m = wt * nb
     total = wt * n
     if safe:
         t, p_pad = _select_t(total, m, lambda tt: m + -(-total // tt),
-                             _LANE_PAD)
+                             _LANE_PAD, cap)
     else:
         slack = 128 + (m >> 5)
         t, p_pad = _select_t(
             total, m, lambda tt: max(m, -(-total // tt)) + slack,
-            _LANE_PAD_TIGHT)
+            _LANE_PAD_TIGHT, cap)
     # max bucket count is n (one window's digits all equal), so a bucket
     # splits over at most ceil(n/T) lanes.
     steps = max(0, int(-(-n // t) - 1).bit_length())
     return t, p_pad, steps
 
 
-def _static_schedule(digits_t, wt: int, n: int, t_rounds: int, p: int):
+def _static_schedule(digits_t, wt: int, n: int, t_rounds: int, p: int,
+                     nb: int = NB):
     """Shape-static on-device schedule construction: digits -> (idx [T, P],
     segid [P], last_pos [M], pool scalar).  Shared by the single-device
     static path (_msm_serial_static) and the sharded table
     (parallel/sharded_serial — each shard builds its local schedule inside
     the shard_map body, no host planning)."""
-    m = wt * NB
-    starts, ends, sv = _entries_sorted_packed(digits_t, wt, n)
+    m = wt * nb
+    starts, ends, sv = _entries_sorted_packed(digits_t, wt, n, nb)
     counts = ends - starts                              # [m]
     sub = (counts + (t_rounds - 1)) // t_rounds         # ceil, 0 for empty
     csum = jnp.cumsum(sub)
@@ -417,9 +431,9 @@ def _static_schedule(digits_t, wt: int, n: int, t_rounds: int, p: int):
     return idx, segid, last_pos, pool
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
-                       p: int, k: int, merge_steps: int):
+                       p: int, k: int, merge_steps: int, c: int = C):
     """Digits -> points in ONE device program: sort, schedule, bucket
     pipeline.  No host planning, no data-dependent shapes.
 
@@ -428,37 +442,38 @@ def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
     can detect tight-plan overflow from the SAME readback (zero extra round
     trips; see _static_plan/_launch_static)."""
     idx, segid, last_pos, pool = _static_schedule(digits_t, wt, n,
-                                                  t_rounds, p)
-    cols = _pipeline(idx, segid, last_pos, src, k, merge_steps)
+                                                  t_rounds, p, _WIN[c][1])
+    cols = _pipeline(idx, segid, last_pos, src, k, merge_steps, c)
     extra = jnp.zeros((4, NL, 1), jnp.int32).at[0, 0, 0].set(pool)
     return jnp.concatenate([cols, extra], axis=2)
 
 
-def _launch_static_async(digits_t_dev, src, n: int):
+def _launch_static_async(digits_t_dev, src, n: int, c: int = C):
     """Dispatch the tight-plan MSM without syncing: returns opaque pending
     state for _launch_static_finish.  Lets callers pipeline several
     launches before paying a readback round trip each."""
     wt = digits_t_dev.shape[0]
-    k = wt // W
-    t, p, steps = _static_plan(wt, n)
-    pend = _msm_serial_static(digits_t_dev, src, wt, n, t, p, k, steps)
-    return (pend, digits_t_dev, src, wt, n, p, k)
+    k = wt // _WIN[c][2]
+    t, p, steps = _static_plan(wt, n, c=c)
+    pend = _msm_serial_static(digits_t_dev, src, wt, n, t, p, k, steps, c)
+    return (pend, digits_t_dev, src, wt, n, p, k, c)
 
 
 def _launch_static_finish(pending):
-    pend, digits_t_dev, src, wt, n, p, k = pending
+    pend, digits_t_dev, src, wt, n, p, k, c = pending
     arr = np.asarray(pend)
     if int(arr[0, 0, k]) >= p:                         # tight pool overflow
-        t2, p2, steps2 = _static_plan(wt, n, safe=True)
+        t2, p2, steps2 = _static_plan(wt, n, safe=True, c=c)
         arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n,
-                                            t2, p2, k, steps2))
+                                            t2, p2, k, steps2, c))
     return _points_from_cols(arr[:, :, :k], k)
 
 
-def _launch_static(digits_t_dev, src, n: int):
+def _launch_static(digits_t_dev, src, n: int, c: int = C):
     """Tight static plan first; on pool overflow (rare — adversarial digit
     mixes only) re-run on the r2 safe-bound shape, compiled lazily."""
-    return _launch_static_finish(_launch_static_async(digits_t_dev, src, n))
+    return _launch_static_finish(_launch_static_async(digits_t_dev, src, n,
+                                                      c))
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
@@ -589,8 +604,9 @@ def _bucket_kernel2d(bias, gx, gy, gt, ox, oy, oz, ot):
     ox[:], oy[:], oz[:], ot[:] = x, y, z, t
 
 
-def _horner_kernel(bias, d2, wx, wy, wz, wt, ox, oy, oz, ot):
-    """Grid (W,) high-to-low window; out = sum_w 2^(C*w) * ws[w]."""
+def _horner_kernel(bias, d2, wx, wy, wz, wt, ox, oy, oz, ot, *,
+                   c: int = C):
+    """Grid (W,) high-to-low window; out = sum_w 2^(c*w) * ws[w]."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -600,10 +616,10 @@ def _horner_kernel(bias, d2, wx, wy, wz, wt, ox, oy, oz, ot):
     @pl.when(i > 0)
     def _():
         acc = (ox[:], oy[:], oz[:], ot[:])
-        # fori_loop (not a Python unroll): 8 inlined padd bodies per grid
+        # fori_loop (not a Python unroll): c inlined padd bodies per grid
         # step blow up both Mosaic and interpret-mode compile times.
         acc = jax.lax.fori_loop(
-            0, C, lambda _, a: _padd_body(bias[:], d2[:], *a, *a), acc)
+            0, c, lambda _, a: _padd_body(bias[:], d2[:], *a, *a), acc)
         acc = _padd_body(bias[:], d2[:], *acc, wx[0], wy[0], wz[0], wt[0])
         ox[:], oy[:], oz[:], ot[:] = acc
 
@@ -662,9 +678,10 @@ def _msm_serial_device(idx, segid, last_pos, src, k: int, merge_steps: int):
     return _pipeline(idx, segid, last_pos, src, k, merge_steps)
 
 
-def _pipeline(idx, segid, last_pos, src, k: int, merge_steps: int):
-    ws = _window_sums_part(idx, segid, last_pos, src, k, merge_steps)
-    return _horner_part(ws, k)
+def _pipeline(idx, segid, last_pos, src, k: int, merge_steps: int,
+              c: int = C):
+    ws = _window_sums_part(idx, segid, last_pos, src, k, merge_steps, c)
+    return _horner_part(ws, k, c)
 
 
 # Round-chunking threshold: the gathered source materializes T*P rows of
@@ -687,7 +704,8 @@ def _gather_g3(idx_rows, src, t, p):
     return (g3[:, 0:NL], g3[:, NL:2 * NL], g3[:, 2 * NL:3 * NL])
 
 
-def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int):
+def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
+                      c: int = C):
     """Bucket accumulation + merge + weighted window reduction.
     Returns a 4-tuple of [NL, k*W] extended-coordinate window sums —
     the shardable intermediate (window sums over disjoint point subsets
@@ -774,29 +792,31 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int):
     buckets = tuple(x[:, last_pos] for x in merged)
 
     # weighted window sums: sum_b b*S_b per window via double suffix scan
-    rev = tuple(x.reshape(NL, m // NB, NB)[:, :, ::-1].reshape(NL, m)
+    nb, log_steps = _WIN[c][1], _WIN[c][3]
+    rev = tuple(x.reshape(NL, m // nb, nb)[:, :, ::-1].reshape(NL, m)
                 for x in buckets)
-    suffix = _masked_scan(rev, NB, 7)
-    total = _masked_scan(suffix, NB, 7)
-    lastpos_w = (jnp.arange(m // NB, dtype=jnp.int32) * NB + (NB - 1))
+    suffix = _masked_scan(rev, nb, log_steps)
+    total = _masked_scan(suffix, nb, log_steps)
+    lastpos_w = (jnp.arange(m // nb, dtype=jnp.int32) * nb + (nb - 1))
     return tuple(x[:, lastpos_w] for x in total)        # [NL, k*W]
 
 
-def _horner_part(ws, k: int):
+def _horner_part(ws, k: int, c: int = C):
     bias = jnp.asarray(_SUB_BIAS_COL)
     d2 = jnp.asarray(_D2_COL)
+    w = _WIN[c][2]
     # Horner across windows, per vector, in one kernel launch.
     # lane order is [vector-major, window-minor]; kernel wants [W, NL, k]
     # with the high window first (index map below reverses).
-    ws3 = tuple(x.reshape(NL, k, W).transpose(2, 0, 1) for x in ws)
-    wspec = pl.BlockSpec((1, NL, k), lambda i: (W - 1 - i, 0, 0),
+    ws3 = tuple(x.reshape(NL, k, w).transpose(2, 0, 1) for x in ws)
+    wspec = pl.BlockSpec((1, NL, k), lambda i: (w - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM)
     pospec = pl.BlockSpec((NL, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     hcspec = pl.BlockSpec((NL, 1), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _horner_kernel,
-        grid=(W,),
+        partial(_horner_kernel, c=c),
+        grid=(w,),
         in_specs=[hcspec, hcspec] + [wspec] * 4,
         out_specs=[pospec] * 4,
         out_shape=[jax.ShapeDtypeStruct((NL, k), jnp.int32)] * 4,

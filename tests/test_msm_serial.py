@@ -124,3 +124,43 @@ def test_chunked_bucket_accumulation(monkeypatch):
     monkeypatch.setattr(ms, "_SLOT_BUDGET", 4096 * 8)
     ks = [rnd.randrange(L) for _ in range(n)]
     assert ms.msm_many([ks], src, n)[0] == msm_host(ks, pts)
+
+
+def test_static_c13_matches_host():
+    """c=13 static device path (limb-width windows, 20x4096 buckets) vs the
+    host MSM oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bulletproof_gadgets_tpu.ops import flvec
+    from bulletproof_gadgets_tpu.ops import msm_serial as ms
+    from bulletproof_gadgets_tpu.core.msm import msm_host
+    from bulletproof_gadgets_tpu.core.ristretto import RISTRETTO_BASEPOINT
+    from bulletproof_gadgets_tpu.core.scalar import L
+    import random
+
+    rnd = random.Random(21)
+    n = 64
+    pts = [RISTRETTO_BASEPOINT.scalar_mul(rnd.randrange(1, L))
+           for _ in range(n)]
+    src, _ = ms.prep_source(pts)
+    ks = [rnd.randrange(L) for _ in range(n)]
+    dig = flvec.digits13_device(jnp.asarray(flvec.to_limbs(ks)))  # [20, n]
+    got = ms._launch_static(dig, src, n, c=13)[0]
+    want = msm_host(ks, pts)
+    assert got == want
+
+
+def test_digits13_recode_value():
+    import numpy as np
+    import jax.numpy as jnp
+    from bulletproof_gadgets_tpu.ops import flvec
+    from bulletproof_gadgets_tpu.core.scalar import L
+    import random
+    rnd = random.Random(23)
+    ks = [0, 1, L - 1, rnd.randrange(L), rnd.randrange(L)]
+    dig = np.asarray(flvec.digits13_device(
+        jnp.asarray(flvec.to_limbs(ks)))).astype(np.int64)
+    for i, k in enumerate(ks):
+        v = sum(int(dig[w, i]) << (13 * w) for w in range(20))
+        assert v == k, (i, k)
+        assert np.abs(dig[:, i]).max() <= 4096
