@@ -87,10 +87,8 @@ def _fold(a, b, gc, hc, u_m, uinv_m, ga, hi):
     return a2, b2, gc2, hc2
 
 
-@jax.jit
-def _scalars(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i):
-    """MSM scalar vectors for this round's L and R as signed digits.
-    Returns [2*32, m] int8 (window-major; m = 2*n_full + 2)."""
+def _scalar_rows(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i):
+    """[2m, NW] std limb rows: the L vector stacked over the R vector."""
     n_full = a.shape[0]
     sel = hi[:, None]
     prod_a = mont_mul(jnp.take(a, ga, axis=0), gc)      # a[cross]*gc, std
@@ -110,10 +108,28 @@ def _scalars(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i):
     vR = jnp.concatenate([jnp.where(sel == 1, 0, prod_a),
                           jnp.where(sel == 1, prod_b, 0),
                           cRw[None, :], zero], axis=0)
-    both = jnp.concatenate([vL, vR], axis=0)            # [2m, NW]
+    return jnp.concatenate([vL, vR], axis=0)            # [2m, NW]
+
+
+@jax.jit
+def _scalars(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i):
+    """MSM scalar vectors for this round's L and R as signed c=8 digits.
+    Returns [2*32, m] int8 (window-major; m = 2*n_full + 2)."""
+    both = _scalar_rows(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)
+    n_full = a.shape[0]
     dig = flvec.digits_device(both)                     # [32, 2m] int8
     m = n_full * 2 + 2
     return jnp.concatenate([dig[:, :m], dig[:, m:]], axis=0)  # [64, m]
+
+
+@jax.jit
+def _scalars13(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i):
+    """c=13 variant: [2*20, m] int16 signed limb-width digits."""
+    both = _scalar_rows(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)
+    n_full = a.shape[0]
+    dig = flvec.digits13_device(both)                   # [20, 2m] int16
+    m = n_full * 2 + 2
+    return jnp.concatenate([dig[:, :m], dig[:, m:]], axis=0)  # [40, m]
 
 
 def create(transcript, table, w_scalar, G_factors, H_factors, a, b,

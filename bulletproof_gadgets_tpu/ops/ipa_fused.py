@@ -1,5 +1,5 @@
 """Fully-device inner-product argument: MSM + compress + Fiat-Shamir fold
-in one jit per round, ZERO per-round host round trips.
+with device state, ZERO per-round host round trips.
 
 Round 3's device IPA (ops/ipa_device.py) kept the coefficient vectors on
 the TPU but still synced every round: the L/R MSM result came back to the
@@ -10,11 +10,18 @@ challenge went back up — lg(n) blocking tunnel round trips per prove
 Here the transcript STATE lives on device (ops/strobe_device; byte
 positions are trace-time static), points are compressed on device
 (ops/ristretto_device), and the challenge + its inverse are derived on
-device, so each round is ONE dispatch with no readback.  The Python loop
-dispatches all lg(n) rounds back-to-back (the same cached executable from
-round 2 on) and pays a single readback at the end for the L/R encodings,
-the final a/b, and the static-plan overflow flags.  On (rare) tight-plan
-pool overflow the whole argument re-runs on the safe-bound shape.
+device, so each round is dispatch-only.  The Python loop dispatches all
+lg(n) rounds back-to-back and pays a single readback at the end for the
+L/R encodings, the final a/b, and the static-plan overflow flags.  On
+(rare) tight-plan pool overflow the whole argument re-runs on the safe
+shape.
+
+Each round is TWO dispatches: the heavy fold+scalars+MSM+compress graph
+is independent of the transcript byte position, so it compiles once per
+circuit SIZE, while the tiny absorb+challenge+invert graph is specialized
+to the strobe meta (which varies per statement on round 1 and is the
+constant (64, 60, 7) from round 2 on).  A single fused graph would
+recompile the multi-minute MSM pipeline for every statement.
 
 Byte/transcript output is identical to the host path (oracle:
 tests/test_ipa_fused.py vs core/ipa.py's host implementation).
@@ -28,9 +35,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from . import flvec, msm_serial
 from .fl import mont_mul, NW, R as _R
-from .ipa_device import round_masks, _fold, _scalars
+from .ipa_device import round_masks, _fold, _scalars, _scalars13
 from .strobe_device import DeviceStrobe, snapshot_host
 from .ristretto_device import (compress_cols, challenge_limbs, to_mont_dev,
                                inv_mont)
@@ -39,54 +48,84 @@ from ..core.scalar import L
 _W = msm_serial.W          # 32 windows
 _NL = msm_serial.NL
 
+# window width for the per-round L/R MSM: c=13 (limb-width digits, 20
+# windows) beats c=8 once the table is large enough that the
+# n-proportional bucket work dominates the 32x taller lane-pool floor
+# (~2^14 table points); BPG_TPU_IPA_C overrides.
+_C_ENV = os.environ.get("BPG_TPU_IPA_C")
+_C_MIN_M = 1 << 14
+# the L/R vectors are half structural zeros (each table point is in
+# exactly one of L, R per round)
+_FILL = 0.5
 
-def _round_fn(state, a, b, gc, hc, u_m, uinv_m, wr2, src,
-              prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i,
-              *, meta, first: bool, n: int, t_rounds: int, p: int,
-              merge_steps: int):
-    """One fused IPA round.  Static: strobe meta, shapes, first-round flag.
-    Returns (state', a', b', gc', hc', u_m', uinv_m', L_bytes, R_bytes,
-    pool)."""
+
+def _ipa_c(m: int) -> int:
+    if _C_ENV:
+        return int(_C_ENV)
+    return 13 if m >= _C_MIN_M else 8
+
+
+def _round_msm(a, b, gc, hc, u_m, uinv_m, wr2, src,
+               prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i,
+               *, first: bool, n: int, t_rounds: int, p: int,
+               merge_steps: int, c: int):
+    """Fold (from round 2) + L/R MSM + device compression.  Independent of
+    the transcript state -> one compile per circuit size."""
     if not first:
         a, b, gc, hc = _fold(a, b, gc, hc, u_m, uinv_m, prev_ga, prev_hi)
-    dig = _scalars(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)  # [64, m]
+    scal = _scalars13 if c == 13 else _scalars
+    dig = scal(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)  # [2w, m]
+    w = msm_serial._WIN[c][2]
     cols = msm_serial._msm_serial_static(
-        dig, src, 2 * _W, n, t_rounds, p, 2, merge_steps)      # [4, NL, 3]
+        dig, src, 2 * w, n, t_rounds, p, 2, merge_steps, c)    # [4, NL, 3]
     pool = cols[0, 0, 2]
     enc = compress_cols(cols[:, :, :2])                        # [2, 32]
+    return a, b, gc, hc, enc, pool
+
+
+def _round_fs(state, enc, *, meta):
+    """Absorb L/R + derive u, u^-1 (mont).  Tiny graph, specialized to the
+    strobe meta."""
     ds = DeviceStrobe(state, *meta)
     ds.append_message(b"L", enc[0])
     ds.append_message(b"R", enc[1])
     u64 = ds.challenge_bytes(b"u", 64)
     u_std = challenge_limbs(u64)
-    u_m2 = to_mont_dev(u_std[None, :])[0]
-    uinv_m2 = inv_mont(u_std)
-    return (ds.state, a, b, gc, hc, u_m2[None, :], uinv_m2[None, :],
-            enc[0], enc[1], pool, ds.meta)
+    u_m = to_mont_dev(u_std[None, :])[0]
+    uinv_m = inv_mont(u_std)
+    return ds.state, u_m[None, :], uinv_m[None, :], ds.meta
 
 
 _jit_cache = {}
 
 
-def _get_round_jit(meta, first, n, t_rounds, p, merge_steps):
-    key = (meta, first, n, t_rounds, p, merge_steps)
+def _get_msm_jit(first, n, t_rounds, p, merge_steps, c):
+    key = ("msm", first, n, t_rounds, p, merge_steps, c)
     fn = _jit_cache.get(key)
     if fn is None:
-        base = partial(_round_fn, meta=meta, first=first, n=n,
-                       t_rounds=t_rounds, p=p, merge_steps=merge_steps)
+        fn = jax.jit(partial(_round_msm, first=first, n=n,
+                             t_rounds=t_rounds, p=p,
+                             merge_steps=merge_steps, c=c))
+        _jit_cache[key] = fn
+    return fn
 
-        def wrapped(*args):
-            out = base(*args)
+
+def _get_fs_jit(meta):
+    key = ("fs", meta)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        base = partial(_round_fs, meta=meta)
+
+        def wrapped(state, enc):
+            out = base(state, enc)
             return out[:-1]                    # meta is static, not traced
 
-        fn = jax.jit(wrapped)
-        # stash the static out-meta by tracing the meta evolution once on
-        # the host (abstractly): DeviceStrobe's pos tracking is pure Python
+        # derive the static out-meta once (pure-Python pos tracking)
         probe = DeviceStrobe(jnp.zeros((200,), jnp.int32), *meta)
         probe.append_message(b"L", jnp.zeros((32,), jnp.int32))
         probe.append_message(b"R", jnp.zeros((32,), jnp.int32))
         probe.challenge_bytes(b"u", 64)
-        fn = (fn, probe.meta)
+        fn = (jax.jit(wrapped), probe.meta)
         _jit_cache[key] = fn
     return fn
 
@@ -124,8 +163,11 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
 
     st0, pos, pb, cf = snapshot_host(transcript)
 
+    c = _ipa_c(m)
+    w = msm_serial._WIN[c][2]
     for safe in (False, True):
-        t_r, p, steps = msm_serial._static_plan(2 * _W, m, safe=safe)
+        t_r, p, steps = msm_serial._static_plan(2 * w, m, safe=safe, c=c,
+                                                fill=_FILL)
         state = jnp.asarray(st0)
         meta = (pos, pb, cf)
         a_d, b_d, gc_d, hc_d = a, b, gc, hc
@@ -134,15 +176,16 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
         Ls, Rs, pools = [], [], []
         for rnd, mk in enumerate(masks):
             prev = masks[rnd - 1] if rnd else mk
-            (fn, out_meta) = _get_round_jit(meta, rnd == 0, m, t_r, p,
-                                            steps)
-            (state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, Lb, Rb,
-             pool) = fn(state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2,
-                        table.src, prev["ga"], prev["hi"], mk["ga"],
-                        mk["hi"], mk["cs"], mk["lo_i"], mk["hi_i"])
+            msm_fn = _get_msm_jit(rnd == 0, m, t_r, p, steps, c)
+            (a_d, b_d, gc_d, hc_d, enc, pool) = msm_fn(
+                a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2, table.src,
+                prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
+                mk["lo_i"], mk["hi_i"])
+            fs_fn, out_meta = _get_fs_jit(meta)
+            state, u_m, uinv_m = fs_fn(state, enc)
             meta = out_meta
-            Ls.append(Lb)
-            Rs.append(Rb)
+            Ls.append(enc[0])
+            Rs.append(enc[1])
             pools.append(pool)
         flat = _final_fold_pack(a_d, b_d, gc_d, hc_d, u_m, uinv_m,
                                 masks[-1]["ga"], masks[-1]["hi"],

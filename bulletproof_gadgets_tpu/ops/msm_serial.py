@@ -357,7 +357,8 @@ def build_schedule_device(digits_t_dev, n: int) -> "DeviceSchedule":
 # BPG_TPU_MSM_SCHED=readback to restore the dynamic-shape path.
 
 
-def _static_plan(wt: int, n: int, safe: bool = False, c: int = C):
+def _static_plan(wt: int, n: int, safe: bool = False, c: int = C,
+                 fill: float = 1.0):
     """(T, P, merge_steps) from shape alone.
 
     safe=False (default): TIGHT pool bound max(m, total/T) + slack.  The
@@ -370,7 +371,13 @@ def _static_plan(wt: int, n: int, safe: bool = False, c: int = C):
     output column, no extra round trip); on the rare overflow the caller
     re-runs on the safe shape (_launch_static).
 
-    safe=True: the r2 bound m + total/T, valid for ANY digit values."""
+    safe=True: the r2 bound m + total/T, valid for ANY digit values.
+
+    fill < 1 tells the TIGHT plan that only ~fill of the wt*n digit slots
+    are nonzero (the IPA's L/R scalar vectors are half structural zeros:
+    each table point lands in exactly one of L, R per round) — the round
+    budget and pool shrink accordingly; a mis-estimate surfaces as pool
+    overflow and re-runs on the safe shape, which never uses fill."""
     nb, cap = _WIN[c][1], _WIN[c][4]
     m = wt * nb
     total = wt * n
@@ -378,6 +385,7 @@ def _static_plan(wt: int, n: int, safe: bool = False, c: int = C):
         t, p_pad = _select_t(total, m, lambda tt: m + -(-total // tt),
                              _LANE_PAD, cap)
     else:
+        total = max(1, int(total * fill))
         slack = 128 + (m >> 5)
         t, p_pad = _select_t(
             total, m, lambda tt: max(m, -(-total // tt)) + slack,
