@@ -38,10 +38,17 @@ def _masks(n_full: int):
       hi   [n_full] int32 — 1 when pos >= half
       cs   [n_full] int32 — shift-by-half gather for the c_L/c_R products
       lo_i [n_full] int32 — 1 when i < half (c_L sum mask over rows)
+      tL/tH [n_full/2] int32 — positions with hi = 1 / hi = 0 (each
+            exactly half: the L vector's G-activity and the R vector's,
+            complements) — the compact-layout gathers
+      remap [2, 2*(n_full/2*2+1)+1] int32 — compact column -> source-table
+            row map for msm_serial._msm_serial_static_remapped (row 0 = L,
+            row 1 = R; second half = negated rows; last = identity)
     """
     out = []
     t = np.arange(n_full, dtype=np.int32)
     i = np.arange(n_full, dtype=np.int32)
+    m_pts = 2 * n_full + 2
     n = n_full
     while n != 1:
         half = n // 2
@@ -52,9 +59,23 @@ def _masks(n_full: int):
         hi_i = ((i >= half) & (i < n)).astype(np.int32)  # c_R rows
         cs = np.where(i < half, i + half,
                       np.maximum(i - half, 0)).astype(np.int32)
+        tL = np.nonzero(hi)[0].astype(np.int32)
+        tH = np.nonzero(1 - hi)[0].astype(np.int32)
+        assert tL.size == tH.size == n_full // 2
+        # L columns: G_t for t in tL, H_t (table row n_full + t) for t in
+        # tH, then B (row 2*n_full); R mirrors with tL/tH swapped
+        colsL = np.concatenate([tL, n_full + tH, [2 * n_full]])
+        colsR = np.concatenate([tH, n_full + tL, [2 * n_full]])
+        nc = colsL.size                          # n_full + 1
+        remap = np.stack([
+            np.concatenate([colsL, m_pts + colsL, [2 * m_pts]]),
+            np.concatenate([colsR, m_pts + colsR, [2 * m_pts]]),
+        ]).astype(np.int32)
         out.append(dict(ga=jnp.asarray(ga), hi=jnp.asarray(hi),
                         cs=jnp.asarray(cs), lo_i=jnp.asarray(lo_i),
-                        hi_i=jnp.asarray(hi_i)))
+                        hi_i=jnp.asarray(hi_i),
+                        tL=jnp.asarray(tL), tH=jnp.asarray(tH),
+                        remap=jnp.asarray(remap)))
         n = half
     return out
 
@@ -130,6 +151,40 @@ def _scalars13(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i):
     dig = flvec.digits13_device(both)                   # [20, 2m] int16
     m = n_full * 2 + 2
     return jnp.concatenate([dig[:, :m], dig[:, m:]], axis=0)  # [40, m]
+
+
+@jax.jit
+def _scalars_compact(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i, tL, tH):
+    """Compact-layout MSM digits: [2*32, n_full + 1] int8.
+
+    The full L/R vectors are half structural zeros (each table point lands
+    in exactly one of L, R per round), which the entry sort and digit
+    recode still paid for.  Column j of the compact L vector is the scalar
+    of source row remap[0, j] (mask `remap`), built by gathering the SAME
+    prod_a/prod_b products the dense layout computes:
+      L = [prod_a[tL] | prod_b[tH] | c_L*w],  R = [prod_a[tH] | prod_b[tL]
+      | c_R*w]."""
+    sel = hi[:, None]
+    prod_a = mont_mul(jnp.take(a, ga, axis=0), gc)
+    prod_b = mont_mul(jnp.take(b, ga, axis=0), hc)
+
+    b_x = jnp.take(b, cs, axis=0)
+    p1 = mont_mul(a, b_x)
+    s_lo = flvec.sum_rows(jnp.where(lo_i[:, None] == 1, p1, 0))
+    s_hi = flvec.sum_rows(jnp.where(hi_i[:, None] == 1, p1, 0))
+    cLw = mont_mul(s_lo, wr2)
+    cRw = mont_mul(s_hi, wr2)
+
+    vL = jnp.concatenate([jnp.take(prod_a, tL, axis=0),
+                          jnp.take(prod_b, tH, axis=0),
+                          cLw[None, :]], axis=0)        # [n_full+1, NW]
+    vR = jnp.concatenate([jnp.take(prod_a, tH, axis=0),
+                          jnp.take(prod_b, tL, axis=0),
+                          cRw[None, :]], axis=0)
+    both = jnp.concatenate([vL, vR], axis=0)            # [2(n+1), NW]
+    dig = flvec.digits_device(both)                     # [32, 2(n+1)]
+    nc = vL.shape[0]
+    return jnp.concatenate([dig[:, :nc], dig[:, nc:]], axis=0)  # [64, nc]
 
 
 def create(transcript, table, w_scalar, G_factors, H_factors, a, b,

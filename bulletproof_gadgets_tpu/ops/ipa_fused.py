@@ -39,7 +39,8 @@ import os
 
 from . import flvec, msm_serial
 from .fl import mont_mul, NW, R as _R
-from .ipa_device import round_masks, _fold, _scalars, _scalars13
+from .ipa_device import (round_masks, _fold, _scalars, _scalars13,
+                         _scalars_compact)
 from .strobe_device import DeviceStrobe, snapshot_host
 from .ristretto_device import (compress_cols, challenge_limbs, to_mont_dev,
                                inv_mont)
@@ -49,11 +50,14 @@ _W = msm_serial.W          # 32 windows
 _NL = msm_serial.NL
 
 # window width for the per-round L/R MSM: c=13 (limb-width digits, 20
-# windows) beats c=8 once the table is large enough that the
-# n-proportional bucket work dominates the 32x taller lane-pool floor
-# (~2^14 table points); BPG_TPU_IPA_C overrides.
+# windows) cuts bucket-stage slots ~1.2-1.5x, but its weighted bucket
+# reduction runs masked scans over a 20x taller lane array (2*log2(4096)
+# steps x 81920 lanes per vector ~ 2-4M lane-padds), which MEASURED 2.5x
+# slower end-to-end at a 2^17-gens table (9.0s vs 3.6s warm merkle).
+# The slot model crosses over only around 2^20 table points, so c=13 is
+# gated far out; BPG_TPU_IPA_C overrides for experiments.
 _C_ENV = os.environ.get("BPG_TPU_IPA_C")
-_C_MIN_M = 1 << 14
+_C_MIN_M = 1 << 21
 # the L/R vectors are half structural zeros (each table point is in
 # exactly one of L, R per round)
 _FILL = 0.5
@@ -66,18 +70,29 @@ def _ipa_c(m: int) -> int:
 
 
 def _round_msm(a, b, gc, hc, u_m, uinv_m, wr2, src,
-               prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i,
+               prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i, tL, tH, remap,
                *, first: bool, n: int, t_rounds: int, p: int,
                merge_steps: int, c: int):
     """Fold (from round 2) + L/R MSM + device compression.  Independent of
-    the transcript state -> one compile per circuit size."""
+    the transcript state -> one compile per circuit size.
+
+    c=8 uses the COMPACT layout: the L/R vectors are complementary halves
+    of the table, so digits/sort run over n/2+1 columns per vector with a
+    post-sort source remap (halves the entry sort — the second-largest
+    per-round cost)."""
     if not first:
         a, b, gc, hc = _fold(a, b, gc, hc, u_m, uinv_m, prev_ga, prev_hi)
-    scal = _scalars13 if c == 13 else _scalars
-    dig = scal(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)  # [2w, m]
     w = msm_serial._WIN[c][2]
-    cols = msm_serial._msm_serial_static(
-        dig, src, 2 * w, n, t_rounds, p, 2, merge_steps, c)    # [4, NL, 3]
+    if c == 8:
+        dig = _scalars_compact(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i,
+                               tL, tH)                     # [64, n/2+1]
+        cols = msm_serial._msm_serial_static_remapped(
+            dig, src, remap, 2 * w, n // 2, t_rounds, p, 2,
+            merge_steps, c)
+    else:
+        dig = _scalars13(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)
+        cols = msm_serial._msm_serial_static(
+            dig, src, 2 * w, n, t_rounds, p, 2, merge_steps, c)
     pool = cols[0, 0, 2]
     enc = compress_cols(cols[:, :, :2])                        # [2, 32]
     return a, b, gc, hc, enc, pool
@@ -180,7 +195,7 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
             (a_d, b_d, gc_d, hc_d, enc, pool) = msm_fn(
                 a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2, table.src,
                 prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
-                mk["lo_i"], mk["hi_i"])
+                mk["lo_i"], mk["hi_i"], mk["tL"], mk["tH"], mk["remap"])
             fs_fn, out_meta = _get_fs_jit(meta)
             state, u_m, uinv_m = fs_fn(state, enc)
             meta = out_meta
@@ -196,6 +211,10 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
         if (pools_np < p).all():
             break
         # tight-plan overflow: redo on the safe shape (recompiles once)
+        import sys
+        print(f"ipa_fused: tight-plan pool overflow "
+              f"(max {int(pools_np.max())} >= {p}), re-running safe",
+              file=sys.stderr, flush=True)
 
     L_vec = [bytes(out[32 * i:32 * i + 32].astype(np.uint8))
              for i in range(lg_n)]

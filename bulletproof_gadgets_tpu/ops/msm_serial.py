@@ -67,9 +67,12 @@ _2D = 2 * _D % _P
 # fewer bucket additions, at the cost of 32x more bucket lanes (the pool
 # floor m = w * 2^(c-1) dominates below n ~ 2^16, so c=13 is a LARGE-table
 # setting).  (c, buckets/window, windows, log2 bucket-scan steps, pool cap)
+# The cap bounds the POOL buffer (4 coords x NL x P x 4 B, HBM-resident;
+# VMEM sees only blk-lane blocks), so c=13's cap just needs to clear its
+# own bucket-lane floor k*20*4096 for the k it serves (k<=12 -> 983040).
 _WIN = {
     8: (8, 128, 32, 7, 49152),
-    13: (13, 4096, 20, 12, 131072),
+    13: (13, 4096, 20, 12, 1 << 20),
 }
 
 _ROUND_PAD = 8            # rounds padded to a multiple (bounds jit shapes;
@@ -385,8 +388,16 @@ def _static_plan(wt: int, n: int, safe: bool = False, c: int = C,
         t, p_pad = _select_t(total, m, lambda tt: m + -(-total // tt),
                              _LANE_PAD, cap)
     else:
-        total = max(1, int(total * fill))
-        slack = 128 + (m >> 5)
+        if fill < 1.0:
+            total = max(1, int(total * fill))
+            # fill-scaled plans halve T, which doubles the split-lane cost
+            # of concentrated buckets (bit-vector witnesses hammer digit 1
+            # of window 0 in the IPA's first round) — measured pool excess
+            # ~0.5k over the lean slack at m=8192, so give fill plans more
+            # headroom
+            slack = 256 + (m >> 3)
+        else:
+            slack = 128 + (m >> 5)
         t, p_pad = _select_t(
             total, m, lambda tt: max(m, -(-total // tt)) + slack,
             _LANE_PAD_TIGHT, cap)
@@ -403,8 +414,18 @@ def _static_schedule(digits_t, wt: int, n: int, t_rounds: int, p: int,
     static path (_msm_serial_static) and the sharded table
     (parallel/sharded_serial — each shard builds its local schedule inside
     the shard_map body, no host planning)."""
-    m = wt * nb
     starts, ends, sv = _entries_sorted_packed(digits_t, wt, n, nb)
+    return _schedule_from_sorted(starts, ends, sv, wt, n, t_rounds, p, nb,
+                                 2 * n)
+
+
+def _schedule_from_sorted(starts, ends, sv, wt: int, n: int, t_rounds: int,
+                          p: int, nb: int, ident: int):
+    """Schedule construction from a sorted entry stream.  `ident` is the
+    source-row index of the identity pad (2n for the plain layout; callers
+    that remap sv into a larger source table pass that table's identity
+    row)."""
+    m = wt * nb
     counts = ends - starts                              # [m]
     sub = (counts + (t_rounds - 1)) // t_rounds         # ceil, 0 for empty
     csum = jnp.cumsum(sub)
@@ -429,14 +450,42 @@ def _static_schedule(digits_t, wt: int, n: int, t_rounds: int, p: int,
     # padded with T identity entries so no slice ever clamps (clamping
     # would shift a tail bucket's start and misalign its valid prefix).
     sv_pad = jnp.concatenate(
-        [sv, jnp.full((t_rounds,), 2 * n, jnp.int32)])
+        [sv, jnp.full((t_rounds,), ident, jnp.int32)])
     base0c = jnp.clip(base0, 0, sv.shape[0])
     picked = jax.vmap(
         lambda s: jax.lax.dynamic_slice(sv_pad, (s,), (t_rounds,)))(base0c)
     rank = base0[None, :] + jnp.arange(t_rounds, dtype=jnp.int32)[:, None]
     valid = (segid[None, :] < m) & (rank < end[None, :])
-    idx = jnp.where(valid, picked.T, 2 * n)
+    idx = jnp.where(valid, picked.T, ident)
     return idx, segid, last_pos, pool
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _msm_serial_static_remapped(digits_t, src, remap, wt: int, n: int,
+                                t_rounds: int, p: int, k: int,
+                                merge_steps: int, c: int = C):
+    """Static MSM over a COMPACTED digit matrix: column j of vector v
+    holds the digit of source row remap[v, j] (remap[v, n + j] for the
+    negated row, remap[v, 2n] = the identity row).  Used by the fused IPA,
+    whose L/R scalar vectors are complementary halves of the table — the
+    compact layout halves the entry sort and digit recode
+    (ops/ipa_device._scalars_compact)."""
+    nb = _WIN[c][1]
+    w = wt // k
+    starts, ends, sv = _entries_sorted_packed(digits_t, wt, n, nb)
+    # per-vector remap: the flat sorted stream is window-row-major, so
+    # rows [v*w*n, (v+1)*w*n) belong to vector v
+    parts = []
+    for v in range(k):
+        seg = sv[v * w * n:(v + 1) * w * n]
+        parts.append(jnp.take(remap[v], seg))
+    sv = jnp.concatenate(parts)
+    ident = src.shape[0] - 1
+    idx, segid, last_pos, pool = _schedule_from_sorted(
+        starts, ends, sv, wt, n, t_rounds, p, nb, ident)
+    cols = _pipeline(idx, segid, last_pos, src, k, merge_steps, c)
+    extra = jnp.zeros((4, NL, 1), jnp.int32).at[0, 0, 0].set(pool)
+    return jnp.concatenate([cols, extra], axis=2)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
