@@ -99,7 +99,12 @@ def _select_t(total: int, m: int, pool_of_t, lane_pad: int,
     (BPG_TPU_MSM_SIGMA overrides)."""
     mean = max(1.0, total / m)
     t = int(np.ceil(mean + _SIGMA * np.sqrt(mean)))
-    t = -(-t // _ROUND_PAD) * _ROUND_PAD
+    # pad T to the largest r_chunk granularity once T is big enough that
+    # the extra rounds are noise: T=2168 padded to 8 forced rc=8 (half-size
+    # kernel blocks, 4x the grid steps) and measured 211 ms at n=2^18 vs
+    # the expected ~2x of n=2^17's 62 ms
+    pad = 32 if t >= 512 else _ROUND_PAD
+    t = -(-t // pad) * pad
     while True:
         pool = pool_of_t(t)
         p_pad = -(-(pool + 1) // lane_pad) * lane_pad
@@ -505,25 +510,106 @@ def _msm_serial_static(digits_t, src, wt: int, n: int, t_rounds: int,
     return jnp.concatenate([cols, extra], axis=2)
 
 
+# Point-chunking threshold: the schedule's random row gather runs ~12x
+# slower once the source table exceeds ~34 MB (measured n=2^18: the
+# marginal gather went 9.6 ms -> 118 ms while slots merely doubled — the
+# table left a fast on-chip staging regime).  Tables larger than this are
+# split into <=2^17-point chunks, each running the full static pipeline
+# against its own contiguous [P_c | -P_c | id] slab; the per-chunk
+# [NL, k*W] window sums combine with the group law (the same
+# decomposition parallel/sharded_serial uses across devices).
+_POINT_CHUNK = 1 << 17
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _msm_serial_static_ws(digits_t, src, wt: int, n: int, t_rounds: int,
+                          p: int, k: int, merge_steps: int, c: int = C):
+    """Static pipeline up to (and including) the weighted window sums:
+    returns ([4, NL, k*W] stacked sums, pool scalar)."""
+    idx, segid, last_pos, pool = _static_schedule(digits_t, wt, n,
+                                                  t_rounds, p, _WIN[c][1])
+    ws = _window_sums_part(idx, segid, last_pos, src, k, merge_steps, c)
+    return jnp.stack(ws), pool
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _chunk_src(src, n: int, lo: int):
+    """Contiguous per-chunk source slab [P_lo.. | -P_lo.. | id]."""
+    hi = min(n, lo + _POINT_CHUNK)
+    return jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(src, lo, hi - lo, 0),
+         jax.lax.dynamic_slice_in_dim(src, n + lo, hi - lo, 0),
+         src[-1:]], axis=0)
+
+
+def _combine_ws_horner_impl(stacked, k: int, c: int):
+    """[D, 4, NL, kW] chunk window sums -> [4, NL, k] final points."""
+    cur = tuple(stacked[0, i] for i in range(4))
+    for d in range(1, stacked.shape[0]):
+        cur = padd_cols(cur, tuple(stacked[d, i] for i in range(4)))
+    return _horner_part(cur, k, c)
+
+
+_combine_ws_horner = partial(jax.jit, static_argnums=(1, 2))(
+    _combine_ws_horner_impl)
+
+
+def _chunk_plans(wt: int, n: int, c: int, safe: bool = False):
+    """[(lo, h, t, p, steps)] per point chunk."""
+    plans = []
+    lo = 0
+    while lo < n:
+        h = min(_POINT_CHUNK, n - lo)
+        t, p, steps = _static_plan(wt, h, safe=safe, c=c)
+        plans.append((lo, h, t, p, steps))
+        lo += h
+    return plans
+
+
 def _launch_static_async(digits_t_dev, src, n: int, c: int = C):
     """Dispatch the tight-plan MSM without syncing: returns opaque pending
     state for _launch_static_finish.  Lets callers pipeline several
     launches before paying a readback round trip each."""
     wt = digits_t_dev.shape[0]
     k = wt // _WIN[c][2]
-    t, p, steps = _static_plan(wt, n, c=c)
-    pend = _msm_serial_static(digits_t_dev, src, wt, n, t, p, k, steps, c)
-    return (pend, digits_t_dev, src, wt, n, p, k, c)
+    if n <= _POINT_CHUNK:
+        t, p, steps = _static_plan(wt, n, c=c)
+        pend = _msm_serial_static(digits_t_dev, src, wt, n, t, p, k,
+                                  steps, c)
+        return ("one", pend, digits_t_dev, src, wt, n, p, k, c)
+    pends = []
+    for lo, h, t, p, steps in _chunk_plans(wt, n, c):
+        src_c = _chunk_src(src, n, lo)
+        pends.append((_msm_serial_static_ws(
+            digits_t_dev[:, lo:lo + h], src_c, wt, h, t, p, k, steps, c),
+            p))
+    cols = _combine_ws_horner(jnp.stack([w for (w, _), _ in pends]), k, c)
+    pools = jnp.stack([pl for (_, pl), _ in pends])
+    return ("chunked", cols, pools, [pp for _, pp in pends],
+            digits_t_dev, src, wt, n, k, c)
 
 
 def _launch_static_finish(pending):
-    pend, digits_t_dev, src, wt, n, p, k, c = pending
-    arr = np.asarray(pend)
-    if int(arr[0, 0, k]) >= p:                         # tight pool overflow
-        t2, p2, steps2 = _static_plan(wt, n, safe=True, c=c)
-        arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n,
-                                            t2, p2, k, steps2, c))
-    return _points_from_cols(arr[:, :, :k], k)
+    if pending[0] == "one":
+        _, pend, digits_t_dev, src, wt, n, p, k, c = pending
+        arr = np.asarray(pend)
+        if int(arr[0, 0, k]) >= p:                     # tight pool overflow
+            t2, p2, steps2 = _static_plan(wt, n, safe=True, c=c)
+            arr = np.asarray(_msm_serial_static(digits_t_dev, src, wt, n,
+                                                t2, p2, k, steps2, c))
+        return _points_from_cols(arr[:, :, :k], k)
+    _, cols, pools, ps, digits_t_dev, src, wt, n, k, c = pending
+    pools_np = np.asarray(pools)
+    if any(int(pools_np[i]) >= ps[i] for i in range(len(ps))):
+        # overflow in some chunk: redo everything on safe chunk shapes
+        pends = []
+        for lo, h, t, p, steps in _chunk_plans(wt, n, c, safe=True):
+            src_c = _chunk_src(src, n, lo)
+            pends.append(_msm_serial_static_ws(
+                digits_t_dev[:, lo:lo + h], src_c, wt, h, t, p, k, steps,
+                c)[0])
+        cols = _combine_ws_horner(jnp.stack(pends), k, c)
+    return _points_from_cols(np.asarray(cols), k)
 
 
 def _launch_static(digits_t_dev, src, n: int, c: int = C):
@@ -743,12 +829,14 @@ def _pipeline(idx, segid, last_pos, src, k: int, merge_steps: int,
 
 # Round-chunking threshold: the gathered source materializes T*P rows of
 # 64 int16 + an int32 widened/transposed copy (~384 B per slot transient);
-# past ~12M slots (~4.5 GB transient) chunk the rounds axis so memory stays
+# past ~18M slots (~6.9 GB transient) chunk the rounds axis so memory stays
 # bounded regardless of table size (the 2^21-row stress table needs 86M
-# slots = ~22 GB unchunked).  Chunking costs ~10% (fori_loop + sliced
-# gathers lose some overlap), so the budget sits just above the largest
-# routine shape (n=2^18: 11.2M slots).
-_SLOT_BUDGET = 12 * 1024 * 1024
+# slots = ~33 GB unchunked).  MEASURED round 4: the chunked path costs
+# ~3.3x, not the ~10% round 3 estimated (k=3 at n=2^17: 562 ms chunked vs
+# 168 ms unchunked), so the budget sits as high as HBM allows — above the
+# k=3 prover launch at n=2^17 (14.7M slots) — and chunking is strictly a
+# stress-scale fallback.
+_SLOT_BUDGET = 18 * 1024 * 1024
 
 
 def _gather_g3(idx_rows, src, t, p):

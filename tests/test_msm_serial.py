@@ -164,3 +164,29 @@ def test_digits13_recode_value():
         v = sum(int(dig[w, i]) << (13 * w) for w in range(20))
         assert v == k, (i, k)
         assert np.abs(dig[:, i]).max() <= 4096
+
+
+def test_point_chunked_launch_matches_host(monkeypatch):
+    """Tables above _POINT_CHUNK split into per-chunk pipelines whose
+    window sums combine with the group law; shrink the threshold to
+    exercise the path on a small table (incl. a ragged last chunk)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bulletproof_gadgets_tpu.ops import flvec
+    from bulletproof_gadgets_tpu.ops import msm_serial as ms
+    from bulletproof_gadgets_tpu.core.msm import msm_host
+    from bulletproof_gadgets_tpu.core.ristretto import RISTRETTO_BASEPOINT
+    from bulletproof_gadgets_tpu.core.scalar import L
+    import random
+
+    monkeypatch.setattr(ms, "_POINT_CHUNK", 24)   # 96 points -> 4 chunks
+    rnd = random.Random(31)
+    n = 90                                        # ragged: 24+24+24+18
+    pts = [RISTRETTO_BASEPOINT.scalar_mul(rnd.randrange(1, L))
+           for _ in range(n)]
+    src, _ = ms.prep_source(pts)
+    ks = [[rnd.randrange(L) for _ in range(n)] for _ in range(2)]
+    dig = flvec.digits_t_stacked(ks)
+    got = ms.msm_many_digits_t(dig, src, n)
+    for i in range(2):
+        assert got[i] == msm_host(ks[i], pts), i
