@@ -73,28 +73,20 @@ def run_size(n, rnd, msm_serial, signed_digits, L, gens):
         t, p = 0, 0
         floor = 0.0
     else:
-        # The REAL prover path: digits live on device (flvec) and the whole
-        # schedule is built there inside the MSM jit (static shapes) — per
-        # MSM the host dispatches one executable and reads back one point;
-        # the dispatch-all-then-read-all order amortizes the round trip.
+        # The REAL prover path: digits live on device (flvec), the whole
+        # schedule is built there inside the MSM jit (static shapes), and
+        # tables above _POINT_CHUNK split into per-chunk pipelines; the
+        # dispatch-all-then-finish-all order amortizes the round trip.
         t, p, steps = msm_serial._static_plan(wt, n)
         t0 = time.time()
-        arr0 = np.asarray(msm_serial._msm_serial_static(
-            digs[0], src, wt, n, t, p, 1, steps))
-        last = msm_serial._points_from_cols(arr0[:, :, :1], 1)[0]
+        last = msm_serial._launch_static(digs[0], src, n)[0]
         log(f"  n={n}: compile+first run {time.time() - t0:.1f}s "
             f"-> {last.compress().hex()[:16]}...")
         t0 = time.time()
-        pending = [msm_serial._msm_serial_static(d, src, wt, n, t, p, 1,
-                                                 steps)
-                   for d in digs]
-        arrs = [np.asarray(c) for c in pending]
+        pending = [msm_serial._launch_static_async(d, src, n) for d in digs]
+        pts = [msm_serial._launch_static_finish(pd) for pd in pending]
         dt = (time.time() - t0) / iters
-        overflows = sum(int(a[0, 0, 1]) >= p for a in arrs)
-        if overflows:
-            log(f"  n={n}: WARNING {overflows}/{iters} tight-plan "
-                "overflows — rates below exclude the safe-shape rerun")
-        last = msm_serial._points_from_cols(arrs[-1][:, :, :1], 1)[0]
+        last = pts[-1][0]
         # HBM floor: the bucket stage gathers T*P source rows of 128 B and
         # the pool accumulators stay in VMEM; everything else is
         # lower-order.
