@@ -98,6 +98,28 @@ def _round_msm(a, b, gc, hc, u_m, uinv_m, wr2, src,
     return a, b, gc, hc, enc, pool
 
 
+def _round_foldscal(a, b, gc, hc, u_m, uinv_m, wr2,
+                    prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i,
+                    *, first: bool):
+    """Chunked-table variant, part 1: fold + dense scalar digits."""
+    if not first:
+        a, b, gc, hc = _fold(a, b, gc, hc, u_m, uinv_m, prev_ga, prev_hi)
+    dig = _scalars(a, b, gc, hc, wr2, ga, hi, cs, lo_i, hi_i)  # [64, m]
+    return a, b, gc, hc, dig
+
+
+def _round_combine(stacked, pools, *, c: int):
+    """Chunked-table variant, part 3: group-law combine of per-chunk
+    window sums + Horner + compression."""
+    cur = tuple(stacked[0, i] for i in range(4))
+    from .pallas_curve import padd_cols
+    for d in range(1, stacked.shape[0]):
+        cur = padd_cols(cur, tuple(stacked[d, i] for i in range(4)))
+    cols = msm_serial._horner_part(cur, 2, c)
+    enc = compress_cols(cols)
+    return enc, pools
+
+
 def _round_fs(state, enc, *, meta):
     """Absorb L/R + derive u, u^-1 (mont).  Tiny graph, specialized to the
     strobe meta."""
@@ -121,6 +143,24 @@ def _get_msm_jit(first, n, t_rounds, p, merge_steps, c):
         fn = jax.jit(partial(_round_msm, first=first, n=n,
                              t_rounds=t_rounds, p=p,
                              merge_steps=merge_steps, c=c))
+        _jit_cache[key] = fn
+    return fn
+
+
+def _get_foldscal_jit(first):
+    key = ("foldscal", first)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_round_foldscal, first=first))
+        _jit_cache[key] = fn
+    return fn
+
+
+def _get_combine_jit(c):
+    key = ("combine", c)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_round_combine, c=c))
         _jit_cache[key] = fn
     return fn
 
@@ -180,9 +220,22 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
 
     c = _ipa_c(m)
     w = msm_serial._WIN[c][2]
+    chunked = m > msm_serial._POINT_CHUNK and c == 8
+    if chunked:
+        # per-chunk source slabs (built once, reused across all rounds)
+        slabs = [msm_serial._chunk_src(table.src, m, lo)
+                 for lo, _, _, _, _ in msm_serial._chunk_plans(
+                     2 * w, m, c)]
     for safe in (False, True):
-        t_r, p, steps = msm_serial._static_plan(2 * w, m, safe=safe, c=c,
-                                                fill=_FILL)
+        if chunked:
+            cplans = msm_serial._chunk_plans(2 * w, m, c, safe=safe)
+            if not safe:
+                cplans = [(lo, h) + msm_serial._static_plan(
+                    2 * w, h, c=c, fill=_FILL)
+                    for lo, h, _, _, _ in cplans]
+        else:
+            t_r, p, steps = msm_serial._static_plan(
+                2 * w, m, safe=safe, c=c, fill=_FILL)
         state = jnp.asarray(st0)
         meta = (pos, pb, cf)
         a_d, b_d, gc_d, hc_d = a, b, gc, hc
@@ -191,11 +244,28 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
         Ls, Rs, pools = [], [], []
         for rnd, mk in enumerate(masks):
             prev = masks[rnd - 1] if rnd else mk
-            msm_fn = _get_msm_jit(rnd == 0, m, t_r, p, steps, c)
-            (a_d, b_d, gc_d, hc_d, enc, pool) = msm_fn(
-                a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2, table.src,
-                prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
-                mk["lo_i"], mk["hi_i"], mk["tL"], mk["tH"], mk["remap"])
+            if chunked:
+                fsc = _get_foldscal_jit(rnd == 0)
+                a_d, b_d, gc_d, hc_d, dig = fsc(
+                    a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2,
+                    prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
+                    mk["lo_i"], mk["hi_i"])
+                wss, pls = [], []
+                for (lo, h, ct, cp, csteps), slab in zip(cplans, slabs):
+                    ws_c, pool_c = msm_serial._msm_serial_static_ws(
+                        jax.lax.dynamic_slice_in_dim(dig, lo, h, 1),
+                        slab, 2 * w, h, ct, cp, 2, csteps, c)
+                    wss.append(ws_c)
+                    pls.append(pool_c)
+                enc, pool = _get_combine_jit(c)(
+                    jnp.stack(wss), jnp.stack(pls))
+            else:
+                msm_fn = _get_msm_jit(rnd == 0, m, t_r, p, steps, c)
+                (a_d, b_d, gc_d, hc_d, enc, pool) = msm_fn(
+                    a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2, table.src,
+                    prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
+                    mk["lo_i"], mk["hi_i"], mk["tL"], mk["tH"],
+                    mk["remap"])
             fs_fn, out_meta = _get_fs_jit(meta)
             state, u_m, uinv_m = fs_fn(state, enc)
             meta = out_meta
@@ -208,7 +278,12 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
                                 jnp.stack(pools))
         out = np.asarray(flat)                  # THE one readback
         pools_np = out[2 * 32 * lg_n + 2 * NW:]
-        if (pools_np < p).all():
+        if chunked:
+            caps = np.array([pl[3] for pl in cplans] * lg_n)
+            ok = (pools_np < caps).all()
+        else:
+            ok = (pools_np < p).all()
+        if ok:
             break
         # tight-plan overflow: redo on the safe shape (recompiles once)
         import sys

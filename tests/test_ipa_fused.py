@@ -52,3 +52,38 @@ def test_fused_ipa_matches_host(n, native):
     # host transcript replay left t_dev in the identical state
     assert t_host.challenge_bytes(b"x", 32) == \
         t_dev.challenge_bytes(b"x", 32)
+
+
+def test_fused_ipa_chunked_table(monkeypatch):
+    """Huge-table path: per-round MSMs split into point chunks whose
+    window sums combine with the group law (shrunk threshold)."""
+    from bulletproof_gadgets_tpu.ops import msm_serial
+    monkeypatch.setattr(msm_serial, "_POINT_CHUNK", 24)
+
+    n = 16
+    pc = PedersenGens.default()
+    bp = BulletproofGens(n)
+    G, H = list(bp.G(n)), list(bp.H(n))
+    a = _rand_scalars(n, 5)
+    b = _rand_scalars(n, 6)
+    y_inv = _rand_scalars(1, 7)[0]
+    G_factors = [Scalar(1)] * n
+    H_factors = exp_iter(y_inv, n)
+    w = _rand_scalars(1, 8)[0]
+    Q = pc.B.scalar_mul(w.v)
+
+    t_host = Transcript(b"ipa-chunked")
+    host = InnerProductProof.create(
+        t_host, Q, list(G_factors), list(H_factors),
+        list(G), list(H), list(a), list(b))
+
+    table = msm_serial.GeneratorTable(G, H, pc.B, pc.B_blinding)
+    assert table.m > 24          # chunked path engaged
+    t_dev = Transcript(b"ipa-chunked")
+    innerproduct_domain_sep(t_dev, n)
+    L_vec, R_vec, a0, b0 = ipa_fused.create(
+        t_dev, table, w.v % L,
+        [s.v % L for s in G_factors], [s.v % L for s in H_factors],
+        [s.v for s in a], [s.v for s in b])
+    assert L_vec == host.L_vec and R_vec == host.R_vec
+    assert a0 == host.a.v % L and b0 == host.b.v % L
