@@ -118,6 +118,17 @@ def _scatter(w, tgt, n_targets: int):
                              jnp.zeros((n_targets, NW), jnp.int32))
 
 
+# Extraction cache: the per-term index arrays and coefficient pool are a
+# pure function of (constraints, n, m) — z enters only the device math.
+# The circuit template cache (lang/template) shares ONE constraints list
+# object across proves of the same statement, so keying on id() turns the
+# ~0.4 s Python per-term pass into a dict hit on every warm prove.  The
+# id is revalidated with (len, total_terms) to be safe against reuse of a
+# freed id by a different list.
+_extract_cache = {}
+_EXTRACT_CACHE_CAP = 16
+
+
 def flatten(constraints, n: int, m: int, z: int, with_wc: bool):
     """constraints: list[LinearCombination]; n multipliers, m commitments.
 
@@ -130,6 +141,22 @@ def flatten(constraints, n: int, m: int, z: int, with_wc: bool):
     total_terms = sum(len(lc.terms) for lc in constraints)
     if total_terms < MIN_DEVICE_TERMS or n == 0:
         return None
+
+    ckey = (id(constraints), q_count, total_terms, n, m)
+    cached = _extract_cache.pop(ckey, None)
+    if cached is not None:
+        _extract_cache[ckey] = cached            # LRU refresh
+        cidx, uidx, tgt, coeff_std, t_pad, q_pad, n_targets = cached
+        z_m = jnp.asarray(flvec.to_mont([z % L]))[0]
+        w = _zpowers_m(z_m, cidx, uidx, coeff_std, q_pad)
+        sums = _scatter(w, tgt, n_targets)
+        wL = sums[:n]
+        wR = sums[n:2 * n]
+        wO = sums[2 * n:3 * n]
+        host_part = flvec.limbs_to_ints(
+            np.asarray(sums[3 * n:3 * n + m + 1]))
+        return Flattened(wL, wR, wO, host_part[:m],
+                         host_part[m] if with_wc else None)
 
     # -- python extraction pass (index arrays + coefficient pool) ---------
     # targets: [0,n) aL / [n,2n) aR / [2n,3n) aO / [3n,3n+m) V / [3n+m] One
@@ -176,10 +203,18 @@ def flatten(constraints, n: int, m: int, z: int, with_wc: bool):
     coeff_std = flvec.to_limbs(
         pool_vals + [0] * (u_pad - len(pool_vals)))
 
+    cidx_d = jnp.asarray(cidx)
+    uidx_d = jnp.asarray(uidx)
+    tgt_d = jnp.asarray(tgt)
+    coeff_d = jnp.asarray(coeff_std)
+    _extract_cache[ckey] = (cidx_d, uidx_d, tgt_d, coeff_d, t_pad, q_pad,
+                           n_targets)
+    while len(_extract_cache) > _EXTRACT_CACHE_CAP:
+        _extract_cache.pop(next(iter(_extract_cache)))
+
     z_m = jnp.asarray(flvec.to_mont([z % L]))[0]
-    w = _zpowers_m(z_m, jnp.asarray(cidx), jnp.asarray(uidx),
-                   jnp.asarray(coeff_std), q_pad)
-    sums = _scatter(w, jnp.asarray(tgt), n_targets)
+    w = _zpowers_m(z_m, cidx_d, uidx_d, coeff_d, q_pad)
+    sums = _scatter(w, tgt_d, n_targets)
 
     wL = sums[:n]
     wR = sums[n:2 * n]
