@@ -216,8 +216,12 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
     wr2 = jax.device_put(
         jnp.asarray(flvec.to_limbs([w_scalar * _R * _R % L]))[0], rep)
 
+    # only the dense per-position arrays are consumed here (the compact
+    # tL/tH/remap entries added for the fused single-device IPA have
+    # non-shardable leading dims)
     masks = ipa_device.round_masks(n_full)
-    smasks = [{k: jax.device_put(v, msh) for k, v in mk.items()}
+    _KEYS = ("ga", "hi", "cs", "lo_i", "hi_i")
+    smasks = [{k: jax.device_put(mk[k], msh) for k in _KEYS}
               for mk in masks]
 
     m = 2 * n_full + 2
