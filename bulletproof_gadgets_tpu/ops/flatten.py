@@ -37,6 +37,12 @@ from ..core.scalar import L
 # below this many terms the host bigint loop wins (no upload / jit cost)
 MIN_DEVICE_TERMS = 2048
 
+# above this many terms the REMOTE XLA compile of the z-powers gather +
+# scatter graph stalls indefinitely (observed >35 min at ~2^22.5 terms on
+# the 2^20-gens stress circuit, three runs); the host bigint loop costs
+# ~1 us/term and wins decisively at one-shot scale
+MAX_DEVICE_TERMS = 1 << 22
+
 _SCATTER_CHUNK = 1 << 17        # limbs < 2^13.2; 2^17 rows keeps sums < 2^31
 
 # std limbs of (R mod l): mont_mul(x, R mod l) = x * (R mod l) / R == x
@@ -139,7 +145,8 @@ def flatten(constraints, n: int, m: int, z: int, with_wc: bool):
     round (caller keeps the host loop)."""
     q_count = len(constraints)
     total_terms = sum(len(lc.terms) for lc in constraints)
-    if total_terms < MIN_DEVICE_TERMS or n == 0:
+    if (total_terms < MIN_DEVICE_TERMS or total_terms > MAX_DEVICE_TERMS
+            or n == 0):
         return None
 
     ckey = (id(constraints), q_count, total_terms, n, m)
