@@ -38,10 +38,11 @@ from ..core.scalar import L
 MIN_DEVICE_TERMS = 2048
 
 # above this many terms the REMOTE XLA compile of the z-powers gather +
-# scatter graph stalls indefinitely (observed >35 min at ~2^22.5 terms on
-# the 2^20-gens stress circuit, three runs); the host bigint loop costs
-# ~1 us/term and wins decisively at one-shot scale
-MAX_DEVICE_TERMS = 1 << 22
+# scatter graph is OOM-SIGKILLed by the compile helper (observed on the
+# 2^20-gens stress circuit at ~2^22 terms after a >35 min stall — the
+# same wall round 3 hit and misattributed to the scatter op count); the
+# host bigint loop costs ~1 us/term and wins at one-shot scale anyway
+MAX_DEVICE_TERMS = 1 << 21
 
 _SCATTER_CHUNK = 1 << 17        # limbs < 2^13.2; 2^17 rows keeps sums < 2^31
 
