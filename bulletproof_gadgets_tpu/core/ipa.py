@@ -78,8 +78,10 @@ class InnerProductProof:
 
         innerproduct_domain_sep(transcript, n_full)
 
+        import os as _os2
         if (table is not None and getattr(table, "supports_digits", False)
-                and n_full > 1):
+                and n_full > 1
+                and _os2.environ.get("BPG_TPU_HOST_VECTORS") != "1"):
             # Device-resident rounds (serial-bucket table): coefficient
             # vectors live on the TPU, host sees only digits + L/R points.
             # a/b may arrive as device [n, NW] limb arrays (from

@@ -282,7 +282,9 @@ class Prover:
 
         y_inv = y.invert()
 
-        device_vectors = getattr(table, "supports_digits", False)
+        import os as _os
+        device_vectors = (getattr(table, "supports_digits", False)
+                          and _os.environ.get("BPG_TPU_HOST_VECTORS") != "1")
         flat = None
         if device_vectors:
             # vectorized flattening on device (ops/flatten); None for small
@@ -549,7 +551,9 @@ class Verifier:
         # dynamic MSM.
         table = generator_table(bp_gens.G(padded_n), bp_gens.H(padded_n),
                                 pc_gens.B, pc_gens.B_blinding)
-        if getattr(table, "supports_digits", False):
+        import os as _os
+        if (getattr(table, "supports_digits", False)
+                and _os.environ.get("BPG_TPU_HOST_VECTORS") != "1"):
             # O(n) scalar construction on device (ops/verifier_device);
             # host computes only delta and the two B-slot coefficients
             import numpy as _np
