@@ -29,13 +29,12 @@ tests/test_ipa_fused.py vs core/ipa.py's host implementation).
 Role in the reference stack: dalek inner_product_proof.rs `create`
 (invoked from prover.prove, /root/reference/src/prove.rs:79).
 """
+import os
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-import os
 
 from . import flvec, msm_serial
 from .fl import mont_mul, NW, R as _R

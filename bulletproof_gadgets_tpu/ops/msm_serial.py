@@ -27,10 +27,11 @@ the points through them round-by-round:
          buckets -> weighted bucket->window reduction (masked scans) ->
          in-kernel Horner across the 32 windows -> [k] extended points.
 
-Work: ~(1+3/sqrt(mean)) * 32n mixed-adds per MSM vs the scan path's
-~32n*log2(n); the whole device pipeline is ONE jit call per launch.
-For large FIXED tables, ops/msm_premul.py halves the additions again with
-c=16 premultiplied windows.
+Work: ~(1+sigma/sqrt(mean)) * 32n mixed-adds per MSM vs the scan path's
+~32n*log2(n); the whole device pipeline is ONE jit call per launch
+(point-chunked into <=2^17-point slabs for big tables — the random row
+gather leaves its fast regime past ~34 MB of source).  The retired
+premultiplied c=16 path survives in ops/msm_premul.py for reference.
 
 Role in the reference stack: dalek's Pippenger + AVX2 backend, invoked from
 prover.prove / verifier.verify (/root/reference/src/prove.rs:79,
@@ -134,7 +135,7 @@ class Schedule:
 def _plan(counts: np.ndarray, total: int,
           force_t: int = None, force_p: int = None):
     """Round budget T and per-bucket pool offsets from occupancy counts.
-    T ~ mean + 3*sqrt(mean) so uniform digit streams rarely split."""
+    T ~ mean + SIGMA*sqrt(mean) so uniform digit streams rarely split."""
     m = counts.shape[0]
     if force_t is not None:
         t = force_t
