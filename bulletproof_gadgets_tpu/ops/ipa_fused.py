@@ -304,3 +304,174 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
             transcript.append_message(b"R", Rb)
             transcript.challenge_bytes(b"u", 64)
     return L_vec, R_vec, a0, b0
+
+
+# ---------------------------------------------------------------------------
+# Cross-proof batched rounds (the DP serving shape)
+#
+# Small-circuit batched proving is DISPATCH-bound after round 4 (~22
+# launches x ~10 ms tunnel RT per proof; bench_batch 0.36 s/witness on a
+# 1.5k-multiplier circuit).  Proofs of the same circuit run their IPAs in
+# lockstep here: each round stacks the group's L/R compact digit matrices
+# into ONE MSM launch (k = 2*B vectors against the shared table, capped by
+# msm_serial.max_stack_k) and runs the transcript step vmapped over the
+# [B, 200] strobe states (entry byte positions are identical across
+# proofs of one statement, so the static-position trick still holds).
+# Dispatches per round drop from 2B to 2*ceil(2B / k_cap).
+
+def _get_msm_jit_b(first, n, t_rounds, p, merge_steps, b):
+    key = ("msmb", first, n, t_rounds, p, merge_steps, b)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        base = partial(_round_msm_batched, first=first, n=n,
+                       t_rounds=t_rounds, p=p, merge_steps=merge_steps,
+                       b=b)
+        fn = jax.jit(base)
+        _jit_cache[key] = fn
+    return fn
+
+
+def _round_msm_batched(a, b_, gc, hc, u_m, uinv_m, wr2, src,
+                       prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i, tL, tH,
+                       remap, *, first: bool, n: int, t_rounds: int,
+                       p: int, merge_steps: int, b: int):
+    """Batched fold + stacked L/R MSM + compression.  Leading axis B on
+    a/b_/gc/hc/u_m/uinv_m/wr2; masks shared."""
+    if not first:
+        fold_b = jax.vmap(_fold, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+        a, b_, gc, hc = fold_b(a, b_, gc, hc, u_m, uinv_m, prev_ga,
+                               prev_hi)
+    scal_b = jax.vmap(_scalars_compact,
+                      in_axes=(0, 0, 0, 0, 0) + (None,) * 7)
+    dig = scal_b(a, b_, gc, hc, wr2, ga, hi, cs, lo_i, hi_i, tL, tH)
+    nc = dig.shape[2]
+    dig = dig.reshape(b * 2 * _W, nc)          # [B*64, n/2] stacked
+    remap_b = jnp.tile(remap, (b, 1))          # [2B, 2n+1]
+    cols = msm_serial._msm_serial_static_remapped(
+        dig, src, remap_b, 2 * b * _W, nc, t_rounds, p, 2 * b,
+        merge_steps, 8)                        # [4, NL, 2B+1]
+    pool = cols[0, 0, 2 * b]
+    enc = compress_cols(cols[:, :, :2 * b])    # [2B, 32]
+    return a, b_, gc, hc, enc.reshape(b, 2, 32), pool
+
+
+def create_batched(transcripts, table, w_scalars, G_factors_list,
+                   H_factors_list, a_list, b_list):
+    """Fused IPA over a GROUP of proofs of the same circuit.  Inputs are
+    per-proof lists (w, G_factors, H_factors, a, b as int lists or device
+    rows); returns [(L_vec, R_vec, a0, b0)] per proof.  Host transcripts
+    are replayed at the end (same contract as create)."""
+    B = len(transcripts)
+    assert B >= 1
+    if B == 1 or table.m > msm_serial._POINT_CHUNK:
+        # chunked tables already amortize dispatches internally
+        return [create(t, table, w, gf, hf, av, bv)
+                for t, w, gf, hf, av, bv in zip(
+                    transcripts, w_scalars, G_factors_list,
+                    H_factors_list, a_list, b_list)]
+    k_cap = max(1, msm_serial.max_stack_k() // 2)
+    if B > k_cap:
+        out = []
+        for i in range(0, B, k_cap):
+            out.extend(create_batched(
+                transcripts[i:i + k_cap], table, w_scalars[i:i + k_cap],
+                G_factors_list[i:i + k_cap], H_factors_list[i:i + k_cap],
+                a_list[i:i + k_cap], b_list[i:i + k_cap]))
+        return out
+
+    def rows(v):
+        if isinstance(v, list):
+            return jnp.asarray(flvec.to_limbs([s % L for s in v]))
+        return v
+
+    a = jnp.stack([rows(v) for v in a_list])
+    b_ = jnp.stack([rows(v) for v in b_list])
+    n_full = a.shape[1]
+    assert table.N == n_full
+    m = 2 * n_full + 2
+    masks = round_masks(n_full)
+    lg_n = len(masks)
+    gc = jnp.stack([jnp.asarray(flvec.to_mont([s % L for s in gf]))
+                    for gf in G_factors_list])
+    hc = jnp.stack([jnp.asarray(flvec.to_mont([s % L for s in hf]))
+                    for hf in H_factors_list])
+    wr2 = jnp.stack([jnp.asarray(flvec.to_limbs(
+        [w * _R * _R % L]))[0] for w in w_scalars])
+
+    snaps = [snapshot_host(t) for t in transcripts]
+    assert len({s[1:] for s in snaps}) == 1, \
+        "batched proofs must share transcript structure"
+    st0 = np.stack([s[0] for s in snaps])
+    pos, pb, cf = snaps[0][1:]
+
+    for safe in (False, True):
+        # the stacked launch sees B interleaved half-zero vectors: same
+        # per-vector fill as the single-proof compact layout
+        t_r, p, steps = msm_serial._static_plan(
+            2 * B * _W, m, safe=safe, c=8, fill=_FILL)
+        state = jnp.asarray(st0)
+        meta = (pos, pb, cf)
+        a_d, b_d, gc_d, hc_d = a, b_, gc, hc
+        u_m = jnp.zeros((B, 1, NW), jnp.int32)
+        uinv_m = jnp.zeros((B, 1, NW), jnp.int32)
+        Ls, Rs, pools = [], [], []
+        for rnd, mk in enumerate(masks):
+            prev = masks[rnd - 1] if rnd else mk
+            msm_fn = _get_msm_jit_b(rnd == 0, m, t_r, p, steps, B)
+            (a_d, b_d, gc_d, hc_d, enc, pool) = msm_fn(
+                a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2, table.src,
+                prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
+                mk["lo_i"], mk["hi_i"], mk["tL"], mk["tH"], mk["remap"])
+            fs_fn, out_meta = _get_fs_jit_b(meta, B)
+            state, u_m, uinv_m = fs_fn(state, enc)
+            meta = out_meta
+            Ls.append(enc)
+            Rs.append(enc)
+            pools.append(pool)
+        packs = []
+        for i in range(B):
+            packs.append(_final_fold_pack(
+                a_d[i], b_d[i], gc_d[i], hc_d[i], u_m[i], uinv_m[i],
+                masks[-1]["ga"], masks[-1]["hi"],
+                jnp.stack([Ls[r][i, 0] for r in range(lg_n)]),
+                jnp.stack([Rs[r][i, 1] for r in range(lg_n)]),
+                jnp.stack([pools[r] for r in range(lg_n)])))
+        outs = [np.asarray(pk) for pk in packs]
+        if all((o[2 * 32 * lg_n + 2 * NW:] < p).all() for o in outs):
+            break
+
+    results = []
+    for i, out in enumerate(outs):
+        L_vec = [bytes(out[32 * r:32 * r + 32].astype(np.uint8))
+                 for r in range(lg_n)]
+        off = 32 * lg_n
+        R_vec = [bytes(out[off + 32 * r:off + 32 * r + 32].astype(np.uint8))
+                 for r in range(lg_n)]
+        off = 64 * lg_n
+        a0, b0 = flvec.limbs_to_ints(out[off:off + 2 * NW].reshape(2, NW))
+        t = transcripts[i]
+        for Lb, Rb in zip(L_vec, R_vec):
+            t.append_message(b"L", Lb)
+            t.append_message(b"R", Rb)
+            t.challenge_bytes(b"u", 64)
+        results.append((L_vec, R_vec, a0, b0))
+    return results
+
+
+def _get_fs_jit_b(meta, b):
+    key = ("fsb", meta, b)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        base = partial(_round_fs, meta=meta)
+
+        def one(state, enc2):
+            out = base(state, enc2)
+            return out[:-1]
+
+        probe = DeviceStrobe(jnp.zeros((200,), jnp.int32), *meta)
+        probe.append_message(b"L", jnp.zeros((32,), jnp.int32))
+        probe.append_message(b"R", jnp.zeros((32,), jnp.int32))
+        probe.challenge_bytes(b"u", 64)
+        fn = (jax.jit(jax.vmap(one)), probe.meta)
+        _jit_cache[key] = fn
+    return fn

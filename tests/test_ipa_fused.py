@@ -87,3 +87,46 @@ def test_fused_ipa_chunked_table(monkeypatch):
         [s.v for s in a], [s.v for s in b])
     assert L_vec == host.L_vec and R_vec == host.R_vec
     assert a0 == host.a.v % L and b0 == host.b.v % L
+
+
+def test_fused_ipa_batched_matches_host():
+    """Cross-proof batched rounds: 3 proofs' L/R stacked into one MSM per
+    round, transcript steps vmapped — each proof byte-identical to the
+    host path."""
+    n = 16
+    B = 3
+    pc = PedersenGens.default()
+    bp = BulletproofGens(n)
+    G, H = list(bp.G(n)), list(bp.H(n))
+    table = msm_serial.GeneratorTable(G, H, pc.B, pc.B_blinding)
+
+    hosts, t_devs, args = [], [], []
+    for i in range(B):
+        a = _rand_scalars(n, 10 + i)
+        b = _rand_scalars(n, 20 + i)
+        y_inv = _rand_scalars(1, 30 + i)[0]
+        G_factors = [Scalar(1)] * n
+        H_factors = exp_iter(y_inv, n)
+        w = _rand_scalars(1, 40 + i)[0]
+        Q = pc.B.scalar_mul(w.v)
+        th = Transcript(b"ipa-batch")
+        th.append_u64(b"i", i)
+        hosts.append(InnerProductProof.create(
+            th, Q, list(G_factors), list(H_factors),
+            list(G), list(H), list(a), list(b)))
+        td = Transcript(b"ipa-batch")
+        td.append_u64(b"i", i)
+        innerproduct_domain_sep(td, n)
+        t_devs.append(td)
+        args.append((w.v % L, [s.v % L for s in G_factors],
+                     [s.v % L for s in H_factors],
+                     [s.v for s in a], [s.v for s in b]))
+
+    results = ipa_fused.create_batched(
+        t_devs, table,
+        [a[0] for a in args], [a[1] for a in args], [a[2] for a in args],
+        [a[3] for a in args], [a[4] for a in args])
+    for i, (host, (L_vec, R_vec, a0, b0)) in enumerate(zip(hosts, results)):
+        assert L_vec == host.L_vec, i
+        assert R_vec == host.R_vec, i
+        assert a0 == host.a.v % L and b0 == host.b.v % L, i
