@@ -51,8 +51,13 @@ class InnerProductProof:
                 kind, tbl, dig = gen.send(resp)
             except StopIteration as stop:
                 return stop.value
-            resp = (tbl.msm_digits(dig) if kind == "msm"
-                    else _np.asarray(dig))
+            if kind == "msm":
+                resp = tbl.msm_digits(dig)
+            elif kind == "fused_ipa":
+                from ..ops import ipa_fused
+                resp = ipa_fused.create(dig[0], tbl, *dig[1:])
+            else:
+                resp = _np.asarray(dig)
 
     @staticmethod
     def create_gen(transcript, Q: RistrettoPoint, G_factors, H_factors,
@@ -105,11 +110,15 @@ class InnerProductProof:
                 # Device transcript: compress + Fiat-Shamir + fold all
                 # in-jit, one readback for the whole argument
                 # (ops/ipa_fused; docs/PERFORMANCE.md round-4 #1).
-                from ..ops import ipa_fused
-                L_vec, R_vec, a0, b0 = ipa_fused.create(
-                    transcript, table, w.v % _mod,
-                    [s.v % _mod for s in G_factors],
-                    [s.v % _mod for s in H_factors], a_in, b_in)
+                # Yielded as a request so lang.batch can run a GROUP of
+                # proofs' arguments as cross-proof batched rounds; the
+                # single-proof drivers answer it by calling
+                # ipa_fused.create directly.
+                L_vec, R_vec, a0, b0 = yield (
+                    "fused_ipa", table,
+                    (transcript, w.v % _mod,
+                     [s.v % _mod for s in G_factors],
+                     [s.v % _mod for s in H_factors], a_in, b_in))
             else:
                 L_vec, R_vec, a0, b0 = yield from ipa_device.create_gen(
                     transcript, table, w.v % _mod,

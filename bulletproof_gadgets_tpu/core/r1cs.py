@@ -201,8 +201,13 @@ class Prover:
                 kind, table, dig = gen.send(resp)
             except StopIteration as stop:
                 return stop.value
-            resp = (table.msm_digits(dig) if kind == "msm"
-                    else _np.asarray(dig))
+            if kind == "msm":
+                resp = table.msm_digits(dig)
+            elif kind == "fused_ipa":
+                from ..ops import ipa_fused
+                resp = ipa_fused.create(dig[0], table, *dig[1:])
+            else:
+                resp = _np.asarray(dig)
 
     def prove_gen(self, bp_gens):
         """Generator form of prove(): yields ("msm", table, digits) for

@@ -67,17 +67,38 @@ def _drive_lockstep(gens):
     while live:
         reqs = {}
         fetches = {}
+        ipa_reqs = {}
         for i in list(live):
             try:
                 kind, table, dig = live[i].send(resps[i])
                 if kind == "fetch":
                     fetches[i] = dig
+                elif kind == "fused_ipa":
+                    ipa_reqs[i] = (table, dig)
                 else:
                     assert kind == "msm"
                     reqs[i] = (table, dig)
             except StopIteration as stop:
                 results[i] = stop.value
                 del live[i]
+        # cross-proof batched IPA: one stacked MSM launch per round for
+        # the whole group (ops/ipa_fused.create_batched)
+        if ipa_reqs:
+            from ..ops import ipa_fused
+            by_table = {}
+            for i, (table, args) in ipa_reqs.items():
+                by_table.setdefault(id(table), (table, []))[1].append(
+                    (i, args))
+            for table, items in by_table.values():
+                idxs = [i for i, _ in items]
+                argl = [a for _, a in items]
+                outs = ipa_fused.create_batched(
+                    [a[0] for a in argl], table,
+                    [a[1] for a in argl], [a[2] for a in argl],
+                    [a[3] for a in argl], [a[4] for a in argl],
+                    [a[5] for a in argl])
+                for i, out in zip(idxs, outs):
+                    resps[i] = out
         # combine readbacks: one transfer per same-shape group
         if fetches:
             by_shape = {}
@@ -88,7 +109,7 @@ def _drive_lockstep(gens):
                 for (i, _), row in zip(items, stacked):
                     resps[i] = row
         if not reqs:
-            if fetches:
+            if fetches or ipa_reqs:
                 continue
             break
         # group by table, chunk by stacked k

@@ -51,6 +51,11 @@ def run(tag):
             mark('msm_dispatch')
             resp = table.msm_digits(dig)
             mark('msm_done')
+        elif kind == 'fused_ipa':
+            from bulletproof_gadgets_tpu.ops import ipa_fused
+            mark('ipa_dispatch')
+            resp = ipa_fused.create(dig[0], table, *dig[1:])
+            mark('ipa_done')
         else:
             resp = _np.asarray(dig)
             mark('fetch_done')

@@ -49,7 +49,13 @@ while True:
         proof = stop.value
         break
     mark(f"prove yield {i}: {kind}")
-    resp = (table.msm_digits(dig) if kind == "msm" else np.asarray(dig))
+    if kind == "msm":
+        resp = table.msm_digits(dig)
+    elif kind == "fused_ipa":
+        from bulletproof_gadgets_tpu.ops import ipa_fused
+        resp = ipa_fused.create(dig[0], table, *dig[1:])
+    else:
+        resp = np.asarray(dig)
     mark(f"prove yield {i}: {kind} answered")
     i += 1
 mark("PROVE DONE")

@@ -94,3 +94,31 @@ def test_batch_lockstep_proofs_verify():
     oks = verify_batch(name, instance,
                        [(p, c) for p, _, c in batched], gadgets)
     assert oks == [True] * len(witnesses)
+
+
+def test_batch_grouped_fused_ipa_verifies():
+    """Force the device-table + fused-IPA path at small size so the
+    lockstep driver's GROUPED cross-proof IPA rounds
+    (ops/ipa_fused.create_batched via the "fused_ipa" request kind) run
+    on CPU.  Regression for the drive-loop termination bug: a step with
+    only IPA requests must resume the generators, not break."""
+    from bulletproof_gadgets_tpu.core import msm as core_msm
+    from bulletproof_gadgets_tpu.lang.batch import prove_batch, verify_batch
+    from bulletproof_gadgets_tpu.utils import rng
+
+    name = "batchipa"
+    gadgets = "BOUND W0 I0 I1"
+    instance = "I0 = 0x00\nI1 = 0xffff\n"
+    witnesses = [f"W0 = 0x{v:04x}\n" for v in (5, 77, 1234)]
+
+    old = core_msm._table_min_size
+    core_msm.set_table_min_size(8)
+    try:
+        rng.set_seed("batch-ipa")
+        batched = prove_batch(name, instance, witnesses, gadgets)
+    finally:
+        core_msm.set_table_min_size(old)
+        rng.set_seed(None)
+    oks = verify_batch(name, instance,
+                       [(p, c) for p, _, c in batched], gadgets)
+    assert oks == [True] * len(witnesses)
