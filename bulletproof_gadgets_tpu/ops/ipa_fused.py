@@ -436,7 +436,7 @@ def create_batched(transcripts, table, w_scalars, G_factors_list,
                 jnp.stack([Ls[r][i, 0] for r in range(lg_n)]),
                 jnp.stack([Rs[r][i, 1] for r in range(lg_n)]),
                 jnp.stack([pools[r] for r in range(lg_n)])))
-        outs = [np.asarray(pk) for pk in packs]
+        outs = np.asarray(jnp.stack(packs))     # ONE readback for the group
         if all((o[2 * 32 * lg_n + 2 * NW:] < p).all() for o in outs):
             break
 
