@@ -135,6 +135,35 @@ def _round_fs(state, enc, *, meta):
 _jit_cache = {}
 
 
+def _round_merged(state, a, b, gc, hc, u_m, uinv_m, wr2, src,
+                  prev_ga, prev_hi, ga, hi, cs, lo_i, hi_i, tL, tH, remap,
+                  *, meta, n: int, t_rounds: int, p: int,
+                  merge_steps: int, c: int):
+    """MSM + transcript step in ONE dispatch — used from round 1 on, where
+    the strobe meta is the constant steady state (a PRF always ends at
+    pos 64), so this big graph compiles once per circuit SIZE.  Round 0's
+    meta varies per statement and keeps the split two-dispatch form (its
+    transcript half is a tiny per-statement compile)."""
+    a, b, gc, hc, enc, pool = _round_msm(
+        a, b, gc, hc, u_m, uinv_m, wr2, src, prev_ga, prev_hi,
+        ga, hi, cs, lo_i, hi_i, tL, tH, remap,
+        first=False, n=n, t_rounds=t_rounds, p=p,
+        merge_steps=merge_steps, c=c)
+    state, u_m2, uinv_m2, _ = _round_fs(state, enc, meta=meta)
+    return state, a, b, gc, hc, u_m2, uinv_m2, enc, pool
+
+
+def _get_merged_jit(meta, n, t_rounds, p, merge_steps, c):
+    key = ("merged", meta, n, t_rounds, p, merge_steps, c)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_round_merged, meta=meta, n=n,
+                             t_rounds=t_rounds, p=p,
+                             merge_steps=merge_steps, c=c))
+        _jit_cache[key] = fn
+    return fn
+
+
 def _get_msm_jit(first, n, t_rounds, p, merge_steps, c):
     key = ("msm", first, n, t_rounds, p, merge_steps, c)
     fn = _jit_cache.get(key)
@@ -258,6 +287,20 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
                     pls.append(pool_c)
                 enc, pool = _get_combine_jit(c)(
                     jnp.stack(wss), jnp.stack(pls))
+            elif rnd > 0:
+                # steady-state rounds: MSM + transcript in one dispatch
+                # (meta is constant from round 1 on -> one compile/size)
+                merged = _get_merged_jit(meta, m, t_r, p, steps, c)
+                (state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, enc,
+                 pool) = merged(
+                    state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2,
+                    table.src, prev["ga"], prev["hi"], mk["ga"], mk["hi"],
+                    mk["cs"], mk["lo_i"], mk["hi_i"], mk["tL"], mk["tH"],
+                    mk["remap"])
+                Ls.append(enc[0])
+                Rs.append(enc[1])
+                pools.append(pool)
+                continue
             else:
                 msm_fn = _get_msm_jit(rnd == 0, m, t_r, p, steps, c)
                 (a_d, b_d, gc_d, hc_d, enc, pool) = msm_fn(
