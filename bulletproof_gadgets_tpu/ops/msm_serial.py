@@ -49,9 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import fp
 from .msm import signed_digits
 from .msm_cols import _masked_scan, _IDENT_COLS
-from .pallas_curve import (_madd_body, _madd_body_packed, _padd_body,
-                           padd_cols, _SUB_BIAS_COL, _D2_COL,
-                           _use_interpret)
+from .pallas_curve import (_madd_body, _padd_body, padd_cols, _SUB_BIAS_COL,
+                           _D2_COL, _use_interpret)
 from ..core.scalar import L
 from ..core.ristretto import (RistrettoPoint, batch_normalize, P as _P,
                               D as _D)
@@ -654,14 +653,12 @@ def prep_source(points):
     """list[RistrettoPoint] -> (source [2n+1, 64] int16 device array, n).
 
     Row layout packs all three affine coordinates so the schedule gather is
-    ONE row-gather (measured: XLA gather cost is per-row, not per-byte),
-    PAIRED for int32 bitcast: cols 2j / 2j+1 hold (x_j, y_j) for j < 20,
-    cols 40..59 hold the t2d limbs as consecutive pairs (t_0,t_1),...
-    (t2d = x*y*2d mod p, pre-scaled so the kernel saves the 2d mul).
-    After the gather the row bitcasts to 32 int32 words — the bucket
-    kernel unpacks with a mask/shift (limbs are canonical < 2^13), so the
-    widen+transpose and the kernel's HBM input HALVE vs the round-3
-    unpacked-int32 form (the pipeline's second-largest cost).
+    ONE row-gather (measured: XLA gather cost is per-row, not per-byte):
+    cols 0:20 = x limbs, 20:40 = y limbs, 40:60 = t2d limbs, 60:64 = pad,
+    where t2d = x*y*2d mod p (pre-scaled so the kernel saves the 2d mul).
+    13-bit limbs ship as int16 — rows are 128 B instead of 256 B, halving
+    the HBM traffic of the schedule gather (the pipeline's second-largest
+    cost); the bucket kernel widens to int32 in VMEM.
     Rows: [P_0..P_{n-1} | -P_0..-P_{n-1} | identity]."""
     n = len(points)
     aff = batch_normalize(points)
@@ -669,76 +666,16 @@ def prep_source(points):
     ys = [pt.Y for pt in aff]
     t2ds = [pt.T * _2D % _P for pt in aff]
     rows = np.zeros((2 * n + 1, 64), dtype=np.int16)
-    xcols = fp.ints_to_limbs_cols(
+    rows[:, 0:20] = fp.ints_to_limbs_cols(
         xs + [(_P - x) % _P for x in xs] + [0]).T
-    ycols = fp.ints_to_limbs_cols(ys + ys + [1]).T
-    tcols = fp.ints_to_limbs_cols(
+    rows[:, 20:40] = fp.ints_to_limbs_cols(ys + ys + [1]).T
+    rows[:, 40:60] = fp.ints_to_limbs_cols(
         t2ds + [(_P - t) % _P for t in t2ds] + [0]).T
-    rows[:, 0:40:2] = xcols
-    rows[:, 1:40:2] = ycols
-    rows[:, 40:60] = tcols
     return jnp.asarray(rows), n
 
 
 # ---------------------------------------------------------------------------
 # device pipeline
-
-def _bucket_kernel_packed(bias, g, ox, oy, oz, ot, *, r_chunk: int):
-    """Packed-source variant of _bucket_kernel: one [rc, 32, blk] int32
-    input; _madd_body_packed unpacks (x|y<<16) and t2d pairs in VMEM."""
-    rc = pl.program_id(1)
-
-    @pl.when(rc == 0)
-    def _():
-        row = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
-        one = (row == 0).astype(jnp.int32)
-        ox[:] = jnp.zeros_like(ox)
-        oy[:] = one
-        oz[:] = one
-        ot[:] = jnp.zeros_like(ot)
-
-    def body(rr, acc):
-        return _madd_body_packed(bias[:], *acc, g[rr])
-
-    acc = (ox[:], oy[:], oz[:], ot[:])
-    acc = jax.lax.fori_loop(0, r_chunk, body, acc)
-    ox[:], oy[:], oz[:], ot[:] = acc
-
-
-def _bucket_kernel_cont_packed(bias, ix, iy, iz, it, g, ox, oy, oz, ot,
-                               *, r_chunk: int):
-    """Accumulator-carrying packed variant (round-chunked huge tables)."""
-    rc = pl.program_id(1)
-
-    @pl.when(rc == 0)
-    def _():
-        ox[:], oy[:], oz[:], ot[:] = ix[:], iy[:], iz[:], it[:]
-
-    def body(rr, acc):
-        return _madd_body_packed(bias[:], *acc, g[rr])
-
-    acc = (ox[:], oy[:], oz[:], ot[:])
-    acc = jax.lax.fori_loop(0, r_chunk, body, acc)
-    ox[:], oy[:], oz[:], ot[:] = acc
-
-
-def _bucket_kernel2d_packed(bias, g, ox, oy, oz, ot):
-    """rc=1 packed variant over a flat [32, T*P] layout."""
-    r = pl.program_id(1)
-
-    @pl.when(r == 0)
-    def _():
-        row = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
-        one = (row == 0).astype(jnp.int32)
-        ox[:] = jnp.zeros_like(ox)
-        oy[:] = one
-        oz[:] = one
-        ot[:] = jnp.zeros_like(ot)
-
-    x, y, z, t = _madd_body_packed(bias[:], ox[:], oy[:], oz[:], ot[:],
-                                   g[:])
-    ox[:], oy[:], oz[:], ot[:] = x, y, z, t
-
 
 def _bucket_kernel(bias, gx, gy, gt, ox, oy, oz, ot, *, r_chunk: int):
     """r_chunk rounds per grid step.  Blocks are [rc, NL, blk] with rounds
@@ -903,16 +840,14 @@ def _pipeline(idx, segid, last_pos, src, k: int, merge_steps: int,
 _SLOT_BUDGET = 18 * 1024 * 1024
 
 
-def _gather_packed(idx_rows, src, t, p):
-    """[t, p] idx -> rounds-leading PACKED int32 blocks [t, 32, p].
-    The gathered int16 row bitcasts to 32 int32 words (pair j -> low 16
-    bits = even column, high = odd — little-endian), so the transpose
-    moves HALF the int32 elements of the round-3 widen+transpose and the
-    kernel reads half the bytes."""
+def _gather_g3(idx_rows, src, t, p):
+    """[t, p] idx -> rounds-leading int32 coordinate blocks.
+    Widen BEFORE the transpose: XLA's int16 transpose is ~5x slower than
+    int32 (measured 316 vs 57 ms full-pipeline at n=2^16); the int16 win
+    stays where it matters, the random-access row gather."""
     g64 = jnp.take(src, idx_rows.reshape(-1), axis=0)   # [t*p, 64] int16
-    g32 = jax.lax.bitcast_convert_type(
-        g64.reshape(t, p, 32, 2), jnp.int32)            # [t, p, 32]
-    return g32.transpose(0, 2, 1)                       # [t, 32, p]
+    g3 = g64.astype(jnp.int32).reshape(t, p, 64).transpose(0, 2, 1)
+    return (g3[:, 0:NL], g3[:, NL:2 * NL], g3[:, 2 * NL:3 * NL])
 
 
 def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
@@ -951,21 +886,21 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
             idx = jnp.concatenate(
                 [idx, jnp.full((t_pad - t_rounds, p), ident_row,
                                jnp.int32)], axis=0)
-        spec = pl.BlockSpec((rc, 32, blk), lambda j, r: (r, 0, j),
+        spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
                             memory_space=pltpu.VMEM)
 
         def chunk_body(c, acc):
             idx_c = jax.lax.dynamic_slice(idx, (c * tc, 0), (tc, p))
-            g = _gather_packed(idx_c, src, tc, p)
+            g = _gather_g3(idx_c, src, tc, p)
             return tuple(pl.pallas_call(
-                partial(_bucket_kernel_cont_packed, r_chunk=rc),
+                partial(_bucket_kernel_cont, r_chunk=rc),
                 grid=(nb, tc // rc),
-                in_specs=[cspec] + [ospec] * 4 + [spec],
+                in_specs=[cspec] + [ospec] * 4 + [spec] * 3,
                 out_specs=[ospec] * 4,
                 out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
                 compiler_params=params,
                 interpret=_use_interpret(),
-            )(bias, *acc, g))
+            )(bias, *acc, *g))
 
         row = jnp.arange(NL, dtype=jnp.int32)[:, None]
         one = jnp.broadcast_to((row == 0).astype(jnp.int32), (NL, p))
@@ -976,27 +911,27 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
         if rc == 1:
             flat = idx.reshape(-1)
             g64 = jnp.take(src, flat, axis=0)           # [T*P, 64] int16
-            g = jax.lax.bitcast_convert_type(
-                g64.reshape(-1, 32, 2), jnp.int32).T    # [32, T*P]
-            spec = pl.BlockSpec((32, blk), lambda j, r: (0, r * nb + j),
+            g64t = g64.astype(jnp.int32).T              # [64, T*P]
+            g = (g64t[0:NL], g64t[NL:2 * NL], g64t[2 * NL:3 * NL])
+            spec = pl.BlockSpec((NL, blk), lambda j, r: (0, r * nb + j),
                                 memory_space=pltpu.VMEM)
-            kernel = partial(_bucket_kernel2d_packed)
+            kernel = partial(_bucket_kernel2d)
         else:
-            # rounds-leading layout [T, 32, P]: untiled lead dim -> the
+            # rounds-leading layout [T, NL, P]: untiled lead dim -> the
             # kernel fori_loop indexes rounds dynamically.
-            g = _gather_packed(idx, src, t_rounds, p)
-            spec = pl.BlockSpec((rc, 32, blk), lambda j, r: (r, 0, j),
+            g = _gather_g3(idx, src, t_rounds, p)
+            spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
                                 memory_space=pltpu.VMEM)
-            kernel = partial(_bucket_kernel_packed, r_chunk=rc)
+            kernel = partial(_bucket_kernel, r_chunk=rc)
         pool = pl.pallas_call(
             kernel,
             grid=(nb, t_rounds // rc),
-            in_specs=[cspec, spec],
+            in_specs=[cspec] + [spec] * 3,
             out_specs=[ospec] * 4,
             out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
             compiler_params=params,
             interpret=_use_interpret(),
-        )(bias, g)
+        )(bias, *g)
 
     # merge split buckets, then gather canonical [NL, M] bucket sums
     merged = _seg_scan(tuple(pool), segid, merge_steps)

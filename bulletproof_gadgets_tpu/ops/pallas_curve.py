@@ -175,55 +175,6 @@ def _madd_body(bias, x1, y1, z1, t1, x2, y2, t2d2):
     return (_mul(e, f), _mul(g, h), _mul(f, g), _mul(e, h))
 
 
-def _mul_ilv(te, to, b):
-    """Schoolbook like _mul, but operand a's rows arrive as interleaved
-    int16 pairs unpacked into two half-height arrays: row j of a is
-    te[j//2] for even j, to[j//2] for odd j (the packed source-row layout
-    of ops/msm_serial._gather_packed).  Row slicing is Python-static, so
-    feeding from two arrays costs nothing over _mul."""
-    n = b.shape[1]
-    width = 2 * NL - 1
-    terms = []
-    for i in range(NL):
-        half = te if i % 2 == 0 else to
-        prod = half[i // 2:i // 2 + 1, :] * b          # [NL, n]
-        parts = []
-        if i:
-            parts.append(jnp.zeros((i, n), dtype=jnp.int32))
-        parts.append(prod)
-        if width - NL - i:
-            parts.append(jnp.zeros((width - NL - i, n), dtype=jnp.int32))
-        terms.append(jnp.concatenate(parts, axis=0))
-    while len(terms) > 1:
-        nxt = [terms[j] + terms[j + 1] for j in range(0, len(terms) - 1, 2)]
-        if len(terms) % 2:
-            nxt.append(terms[-1])
-        terms = nxt
-    return _finalize(terms[0])
-
-
-def _madd_body_packed(bias, x1, y1, z1, t1, w):
-    """Mixed addition consuming the PACKED affine operand: w [32, n] int32
-    words where word j < 20 = (x_j | y_j << 16) and words 20..29 hold the
-    t2d limbs as (t_{2i} | t_{2i+1} << 16).  Limbs are canonical (< 2^13)
-    so both halves unpack with a mask and a logical shift; the packed
-    layout halves the bucket kernel's HBM input (32 int32 rows vs 60) and
-    the pre-kernel transpose."""
-    x2 = w[:NL] & 0xFFFF
-    y2 = w[:NL] >> 16
-    te = w[NL:NL + NL // 2] & 0xFFFF
-    to = w[NL:NL + NL // 2] >> 16
-    a = _mul(_lazy(y1 + bias - x1), _lazy(y2 + bias - x2))
-    b = _mul(_lazy(y1 + x1), _lazy(y2 + x2))
-    c = _mul_ilv(te, to, t1)
-    d = _lazy(z1 + z1)
-    e = _lazy(b + bias - a)
-    f = _lazy(d + bias - c)
-    g = _lazy(d + c)
-    h = _lazy(b + a)
-    return (_mul(e, f), _mul(g, h), _mul(f, g), _mul(e, h))
-
-
 def _padd_kernel(bias, d2, x1, y1, z1, t1, x2, y2, z2, t2,
                  ox, oy, oz, ot):
     r = _padd_body(bias[:], d2[:], x1[:], y1[:], z1[:], t1[:],
