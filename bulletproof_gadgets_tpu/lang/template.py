@@ -98,9 +98,19 @@ def build_prover_template(recorder, prover):
     safety fallback, not an expected path)."""
     from ..core.recorder import OP_MULTIPLY, OP_ALLOCATE
 
+    # Bind bit recipes to committed slots by object IDENTITY, never by
+    # value: two distinct committed scalars can be equal at build time
+    # (EQUALS statements, repeated bounds), and a value-keyed map would
+    # silently bind a recipe to the wrong slot — poisoning every later
+    # cache hit whose witness makes those slots differ.  Scalar
+    # constructors never intern (core/scalar.py), and the gadget zoo
+    # threads the exact committed objects through _bit_source
+    # (assignments.parse_witness / Gadget.setup store what they commit),
+    # so identity is both safe and precise.  All objects are alive for
+    # the duration of this map — no id-recycling window.
     vmap = {}
     for i, s in enumerate(prover.v):
-        vmap.setdefault(s.v % L, i)
+        vmap.setdefault(id(s), i)
     mults = []
     for op, payload in recorder.operation_buffer:
         if op == OP_MULTIPLY:
@@ -111,7 +121,7 @@ def build_prover_template(recorder, prover):
             if source is None:
                 return None                      # no recipe recorded
             x_scalar, bit = source
-            slot = vmap.get(x_scalar.v % L)
+            slot = vmap.get(id(x_scalar))
             if slot is None:
                 return None                      # uncommitted source
             mults.append((_OP_BITS, slot, bit))

@@ -129,9 +129,12 @@ def _scatter(w, tgt, n_targets: int):
 # pure function of (constraints, n, m) — z enters only the device math.
 # The circuit template cache (lang/template) shares ONE constraints list
 # object across proves of the same statement, so keying on id() turns the
-# ~0.4 s Python per-term pass into a dict hit on every warm prove.  The
-# id is revalidated with (len, total_terms) to be safe against reuse of a
-# freed id by a different list.
+# ~0.4 s Python per-term pass into a dict hit on every warm prove.  Each
+# entry PINS the constraints list object itself: as long as the entry
+# lives, the list cannot be freed, so its id can never be recycled by a
+# different same-shape list (count-based revalidation alone is not
+# sufficient — two statements can share identical term counts).  A hit
+# additionally checks `entry_list is constraints`.
 _extract_cache = {}
 _EXTRACT_CACHE_CAP = 16
 
@@ -152,9 +155,11 @@ def flatten(constraints, n: int, m: int, z: int, with_wc: bool):
 
     ckey = (id(constraints), q_count, total_terms, n, m)
     cached = _extract_cache.pop(ckey, None)
+    if cached is not None and cached[0] is not constraints:
+        cached = None                            # stale id (paranoia)
     if cached is not None:
         _extract_cache[ckey] = cached            # LRU refresh
-        cidx, uidx, tgt, coeff_std, t_pad, q_pad, n_targets = cached
+        _pin, cidx, uidx, tgt, coeff_std, t_pad, q_pad, n_targets = cached
         z_m = jnp.asarray(flvec.to_mont([z % L]))[0]
         w = _zpowers_m(z_m, cidx, uidx, coeff_std, q_pad)
         sums = _scatter(w, tgt, n_targets)
@@ -215,8 +220,8 @@ def flatten(constraints, n: int, m: int, z: int, with_wc: bool):
     uidx_d = jnp.asarray(uidx)
     tgt_d = jnp.asarray(tgt)
     coeff_d = jnp.asarray(coeff_std)
-    _extract_cache[ckey] = (cidx_d, uidx_d, tgt_d, coeff_d, t_pad, q_pad,
-                           n_targets)
+    _extract_cache[ckey] = (constraints, cidx_d, uidx_d, tgt_d, coeff_d,
+                            t_pad, q_pad, n_targets)
     while len(_extract_cache) > _EXTRACT_CACHE_CAP:
         _extract_cache.pop(next(iter(_extract_cache)))
 

@@ -442,8 +442,25 @@ def create_batched(transcripts, table, w_scalars, G_factors_list,
         [w * _R * _R % L]))[0] for w in w_scalars])
 
     snaps = [snapshot_host(t) for t in transcripts]
-    assert len({s[1:] for s in snaps}) == 1, \
-        "batched proofs must share transcript structure"
+    if len({s[1:] for s in snaps}) != 1:
+        # The caller groups by MSM table only (lang/batch), so witnesses
+        # that share a padded table but differ in commitment count reach
+        # here with different transcript byte positions.  Degrade by
+        # partitioning into meta-uniform subgroups instead of crashing.
+        groups = {}
+        for i, s in enumerate(snaps):
+            groups.setdefault(s[1:], []).append(i)
+        out = [None] * B
+        for idxs in groups.values():
+            sub = create_batched(
+                [transcripts[i] for i in idxs], table,
+                [w_scalars[i] for i in idxs],
+                [G_factors_list[i] for i in idxs],
+                [H_factors_list[i] for i in idxs],
+                [a_list[i] for i in idxs], [b_list[i] for i in idxs])
+            for i, r in zip(idxs, sub):
+                out[i] = r
+        return out
     st0 = np.stack([s[0] for s in snaps])
     pos, pb, cf = snaps[0][1:]
 

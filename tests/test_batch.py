@@ -122,3 +122,21 @@ def test_batch_grouped_fused_ipa_verifies():
     oks = verify_batch(name, instance,
                        [(p, c) for p, _, c in batched], gadgets)
     assert oks == [True] * len(witnesses)
+
+
+def test_prove_batch_mixed_shape_same_table():
+    """Advisor r4 (low): witnesses whose circuits pad to the SAME table
+    but differ in commitment count (3-limb vs 4-limb equality -> both
+    round to 4 gens) reach create_batched with mismatching transcript
+    metas; it must partition instead of asserting."""
+    gadgets = "EQUALS W0 W1\n"
+    w3 = "07" * 65                                 # 3 limbs
+    w4 = "07" * 97                                 # 4 limbs
+    witnesses = [
+        f"W0 = 0x{w3}\nW1 = 0x{w3}\n",
+        f"W0 = 0x{w4}\nW1 = 0x{w4}\n",
+    ]
+    results = prove_batch("batch_mix", "", witnesses, gadgets)
+    oks = verify_batch("batch_mix", "",
+                       [(p, c) for p, _, c in results], gadgets)
+    assert oks == [True, True]

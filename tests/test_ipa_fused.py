@@ -130,3 +130,53 @@ def test_fused_ipa_batched_matches_host():
         assert L_vec == host.L_vec, i
         assert R_vec == host.R_vec, i
         assert a0 == host.a.v % L and b0 == host.b.v % L, i
+
+
+def test_fused_ipa_batched_mixed_transcript_meta():
+    """Advisor r4 (low): a group whose transcripts differ in byte
+    position at IPA start (e.g. different commitment counts upstream)
+    must partition into meta-uniform subgroups, not assert."""
+    n = 8
+    B = 3
+    pc = PedersenGens.default()
+    bp = BulletproofGens(n)
+    G, H = list(bp.G(n)), list(bp.H(n))
+    table = msm_serial.GeneratorTable(G, H, pc.B, pc.B_blinding)
+
+    hosts, t_devs, args = [], [], []
+    for i in range(B):
+        a = _rand_scalars(n, 50 + i)
+        b = _rand_scalars(n, 60 + i)
+        y_inv = _rand_scalars(1, 70 + i)[0]
+        G_factors = [Scalar(1)] * n
+        H_factors = exp_iter(y_inv, n)
+        w = _rand_scalars(1, 80 + i)[0]
+        Q = pc.B.scalar_mul(w.v)
+        # proof 1 appends a DIFFERENT-length message -> different strobe
+        # pos at IPA start -> mixed snapshot metas in one group
+        pre = b"x" * (9 if i == 1 else 5)
+        th = Transcript(b"ipa-mix")
+        th.append_message(b"pre", pre)
+        hosts.append(InnerProductProof.create(
+            th, Q, list(G_factors), list(H_factors),
+            list(G), list(H), list(a), list(b)))
+        td = Transcript(b"ipa-mix")
+        td.append_message(b"pre", pre)
+        innerproduct_domain_sep(td, n)
+        t_devs.append(td)
+        args.append((w.v % L, [s.v % L for s in G_factors],
+                     [s.v % L for s in H_factors],
+                     [s.v for s in a], [s.v for s in b]))
+
+    from bulletproof_gadgets_tpu.ops import strobe_device
+    metas = {strobe_device.snapshot_host(t)[1:] for t in t_devs}
+    assert len(metas) == 2                       # the scenario is real
+
+    results = ipa_fused.create_batched(
+        t_devs, table,
+        [a[0] for a in args], [a[1] for a in args], [a[2] for a in args],
+        [a[3] for a in args], [a[4] for a in args])
+    for i, (host, (L_vec, R_vec, a0, b0)) in enumerate(zip(hosts, results)):
+        assert L_vec == host.L_vec, i
+        assert R_vec == host.R_vec, i
+        assert a0 == host.a.v % L and b0 == host.b.v % L, i

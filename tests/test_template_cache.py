@@ -99,3 +99,29 @@ def test_shape_change_is_a_miss():
     w2 = "W0 = 0x" + "07" * 40 + "\nW1 = 0x" + "07" * 40 + "\n"
     proof, _ = prove("e", "", w2, gadg, coms)
     assert verify("e", "", proof, "".join(coms), gadg)
+
+
+def test_build_time_value_collision_binds_by_identity():
+    # Advisor r4 (high): two committed scalars EQUAL at template-build
+    # time must not cross-bind bit recipes.  Build the template from a
+    # witness where W0 == W1, then hit the cache with W0 != W1 — a
+    # value-keyed slot map would extract W1's bits from W0's slot and
+    # emit an invalid proof.
+    gadg = "BOUND W0 I0 I1\nBOUND W1 I0 I1"
+    inst = "I0 = 0x0a\nI1 = 0x64\n"
+
+    rng.set_seed("tmpl-c1")
+    coms = []
+    proof, _ = prove("c", inst, "W0 = 0x43\nW1 = 0x43\n", gadg, coms)
+    assert verify("c", inst, proof, "".join(coms), gadg)
+
+    rng.set_seed("tmpl-c2")
+    coms = []
+    proof, _ = prove("c", inst, "W0 = 0x17\nW1 = 0x60\n", gadg, coms)
+    assert verify("c", inst, proof, "".join(coms), gadg)
+
+    # and the hit path must still catch an out-of-range second witness
+    rng.set_seed("tmpl-c3")
+    coms = []
+    proof, _ = prove("c", inst, "W0 = 0x17\nW1 = 0x65\n", gadg, coms)
+    assert not verify("c", inst, proof, "".join(coms), gadg)
