@@ -15,9 +15,8 @@ throughput in the sweep.  Per-size rates and a speed-of-light fraction
 BPG_TPU_MSM_SCHED=readback times the dynamic-shape readback scheduler
 instead of the default static path (useful on a low-latency link; the
 axon tunnel's multi-second round trips make static the right default).
-BPG_BENCH_PREMUL=1 re-enables the premultiplied c=16 path, which
-round-2 measurements showed 3.5x SLOWER than the plain c=8 kernel at
-n=2^16 (bucket-occupancy slack dominates); it is excluded by default.
+(The premultiplied c=16 path measured 3.5x slower in round 2 and was
+removed in round 5; the negative result lives in docs/PERFORMANCE.md.)
 """
 import json
 import os
@@ -96,54 +95,6 @@ def run_size(n, rnd, msm_serial, signed_digits, L, gens):
         f"(HBM floor {floor*1e3:.2f} ms, {floor/dt*100:.0f}% of light) "
         f"shape=({t}, {p}) last={last.compress().hex()[:16]}")
 
-    if (n >= (1 << 15) and mode != "readback"
-            and os.environ.get("BPG_BENCH_PREMUL", "0") == "1"):
-        from bulletproof_gadgets_tpu.ops import msm_premul
-        if os.path.exists(msm_premul._cache_path(points)):
-            rate = max(rate, run_premul(n, points, rnd, L, last))
-        else:
-            log(f"  n={n} premul: no cached table, skipping "
-                f"(build with scripts/build_premul_tables.py)")
-    return rate
-
-
-def run_premul(n, points, rnd, L, expect):
-    """c=16 premultiplied-window path (ops/msm_premul) on the same points."""
-    import jax.numpy as jnp
-    from bulletproof_gadgets_tpu.ops import msm_premul
-    from bulletproof_gadgets_tpu.ops.msm import signed_digits
-
-    t0 = time.time()
-    table = msm_premul.PremulTable(points)
-    table.src.block_until_ready()
-    log(f"  n={n} premul: table build/load+upload {time.time() - t0:.1f}s")
-
-    def scalars():
-        raw = rnd.integers(0, 1 << 62, size=(n, 5), dtype=np.uint64)
-        return [int(sum(int(raw[i, j]) << (62 * j) for j in range(5))) % L
-                for i in range(n)]
-
-    t0 = time.time()
-    r = table.msm_many([scalars()])[0]
-    log(f"  n={n} premul: compile+first run {time.time() - t0:.1f}s "
-        f"-> {r.compress().hex()[:16]}...")
-
-    iters = 5
-    digs = [np.asarray(signed_digits(scalars(), msm_premul.C16))
-            for _ in range(iters)]
-    t0 = time.time()
-    pending = []
-    for d in digs:
-        sched = msm_premul.build_schedule16(d, n)
-        pending.append((msm_premul._msm_premul_device(
-            jnp.asarray(sched.idx), jnp.asarray(sched.segid),
-            jnp.asarray(sched.last_pos), table.src, sched.k,
-            sched.merge_steps), sched.k))
-    pts = [msm_premul._points_from_cols(c, k) for c, k in pending]
-    dt = (time.time() - t0) / iters
-    rate = n / dt
-    log(f"  n={n} premul: {dt*1e3:.1f} ms/MSM -> {rate:,.0f} mults/s "
-        f"shape={sched.idx.shape} last={pts[-1][0].compress().hex()[:16]}")
     return rate
 
 
