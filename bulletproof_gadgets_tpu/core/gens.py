@@ -26,10 +26,44 @@ _CACHE_DIR = os.environ.get(
     "BPG_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "bpg_tpu"))
 
 
+class _CombTable:
+    """Fixed-base comb: 32 byte-windows of 255 precomputed multiples.
+    mul(k) = sum over windows of table[w][byte_w(k)] — at most 32 point
+    additions (no doublings) instead of the ~380-op double-and-add ladder.
+
+    Every Pedersen commitment the prover makes (witness/derived commits at
+    /root/reference/src/gadget.rs:32 and the five T_i commits inside
+    prover.prove) hits this path twice; the ~11x host speedup is a direct
+    per-witness serving-latency win (docs/PERFORMANCE.md round 5)."""
+
+    __slots__ = ("windows",)
+
+    def __init__(self, point: RistrettoPoint):
+        self.windows = []
+        base = point
+        for _ in range(32):
+            row = [base]                       # row[d-1] = d * 256^w * point
+            cur = base
+            for _ in range(2, 257):
+                cur = cur + base
+                row.append(cur)
+            self.windows.append(row)
+            base = row[255]                    # 256 * base
+
+    def mul(self, k: int) -> RistrettoPoint:
+        acc = None
+        for w, row in enumerate(self.windows):
+            d = (k >> (8 * w)) & 0xFF
+            if d:
+                p = row[d - 1]
+                acc = p if acc is None else acc + p
+        return acc if acc is not None else RistrettoPoint.identity()
+
+
 class PedersenGens:
     """pc_gens: commitment v*B + blinding*B_blinding."""
 
-    __slots__ = ("B", "B_blinding")
+    __slots__ = ("B", "B_blinding", "_comb_B", "_comb_Bb")
 
     _default = None
 
@@ -39,6 +73,8 @@ class PedersenGens:
             h = hashlib.sha3_512(self.B.compress()).digest()
             B_blinding = RistrettoPoint.from_uniform_bytes(h)
         self.B_blinding = B_blinding
+        self._comb_B = None
+        self._comb_Bb = None
 
     @classmethod
     def default(cls) -> "PedersenGens":
@@ -48,7 +84,12 @@ class PedersenGens:
 
     def commit(self, value, blinding) -> RistrettoPoint:
         """value, blinding: core.scalar.Scalar"""
-        return self.B.scalar_mul(value.v) + self.B_blinding.scalar_mul(blinding.v)
+        if self._comb_B is None:
+            self._comb_B = _CombTable(self.B)
+            self._comb_Bb = _CombTable(self.B_blinding)
+        from .scalar import L as _L
+        return (self._comb_B.mul(value.v % _L)
+                + self._comb_Bb.mul(blinding.v % _L))
 
 
 class _GeneratorsChain:

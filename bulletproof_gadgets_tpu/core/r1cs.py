@@ -203,6 +203,9 @@ class Prover:
                 return stop.value
             if kind == "msm":
                 resp = table.msm_digits(dig)
+            elif kind == "msm_enc":
+                resp = table.msm_digits_enc_finish(
+                    table.msm_digits_enc_launch(dig))
             elif kind == "fused_ipa":
                 from ..ops import ipa_fused
                 resp = ipa_fused.create(dig[0], table, *dig[1:])
@@ -237,8 +240,8 @@ class Prover:
         i_blinding1 = rng.random_scalar()
         o_blinding1 = rng.random_scalar()
         s_blinding1 = rng.random_scalar()
-        s_L1 = [rng.random_scalar() for _ in range(n1)]
-        s_R1 = [rng.random_scalar() for _ in range(n1)]
+        s_L1 = rng.random_scalars(n1)
+        s_R1 = rng.random_scalars(n1)
 
         pad1 = padded_n1 - n1
         zpad = [0] * pad1
@@ -249,16 +252,26 @@ class Prover:
                 + zeros_N + [0, o_blinding1.v])
         v_S = ([s.v for s in s_L1] + zpad
                + [s.v for s in s_R1] + zpad + [0, s_blinding1.v])
-        if getattr(table, "supports_digits", False):
-            # digits recoded on device; schedule built device-side too
+        if (getattr(table, "supports_digits", False)
+                and hasattr(table, "msm_digits_enc_launch")):
+            # digits recoded on device; schedule built device-side too, and
+            # the three commitments compress on device (the transcript only
+            # needs the encodings — saves 3 host from_limbs+compress)
+            from ..ops import flvec
+            dig = flvec.digits_t_stacked([v_AI, v_AO, v_S])
+            A_I1, A_O1, S1 = yield ("msm_enc", table, dig)
+        elif getattr(table, "supports_digits", False):
             from ..ops import flvec
             dig = flvec.digits_t_stacked([v_AI, v_AO, v_S])
             p_AI, p_AO, p_S = yield ("msm", table, dig)
+            A_I1 = p_AI.compress()
+            A_O1 = p_AO.compress()
+            S1 = p_S.compress()
         else:
             p_AI, p_AO, p_S = table.msm_many([v_AI, v_AO, v_S])
-        A_I1 = p_AI.compress()
-        A_O1 = p_AO.compress()
-        S1 = p_S.compress()
+            A_I1 = p_AI.compress()
+            A_O1 = p_AO.compress()
+            S1 = p_S.compress()
 
         append_point(t, b"A_I1", A_I1)
         append_point(t, b"A_O1", A_O1)

@@ -66,6 +66,7 @@ def _drive_lockstep(gens):
     results = {}
     while live:
         reqs = {}
+        enc_reqs = {}
         fetches = {}
         ipa_reqs = {}
         for i in list(live):
@@ -75,6 +76,8 @@ def _drive_lockstep(gens):
                     fetches[i] = dig
                 elif kind == "fused_ipa":
                     ipa_reqs[i] = (table, dig)
+                elif kind == "msm_enc":
+                    enc_reqs[i] = (table, dig)
                 else:
                     assert kind == "msm"
                     reqs[i] = (table, dig)
@@ -99,6 +102,41 @@ def _drive_lockstep(gens):
                     [a[5] for a in argl])
                 for i, out in zip(idxs, outs):
                     resps[i] = out
+        # encoded MSMs (A_I/A_O/S waves): stack the whole group's digit
+        # matrices into combined launches, compress on device, hand each
+        # proof its 32-byte encodings — one dispatch wave + one readback
+        # per <= k_cap stacked vectors for the entire batch
+        if enc_reqs:
+            k_cap = _max_launch_k()
+            by_table = {}
+            for i, (table, dig) in enc_reqs.items():
+                by_table.setdefault(id(table), (table, []))[1].append(
+                    (i, dig))
+            for table, items in by_table.values():
+                group, ks = [], 0
+                flush_list = [group]
+                for i, dig in items:
+                    k = dig.shape[0] // 32
+                    if ks + k > k_cap and group:
+                        group = []
+                        flush_list.append(group)
+                        ks = 0
+                    group.append((i, dig, k))
+                    ks += k
+                pendings = []
+                for group in flush_list:
+                    if not group:
+                        continue
+                    combined = jnp.concatenate([d for _, d, _ in group],
+                                               axis=0)
+                    pendings.append((group,
+                                     table.msm_digits_enc_launch(combined)))
+                for group, pend in pendings:
+                    encs = table.msm_digits_enc_finish(pend)
+                    off = 0
+                    for i, _, k in group:
+                        resps[i] = encs[off:off + k]
+                        off += k
         # combine readbacks: one transfer per same-shape group
         if fetches:
             by_shape = {}
@@ -109,7 +147,7 @@ def _drive_lockstep(gens):
                 for (i, _), row in zip(items, stacked):
                     resps[i] = row
         if not reqs:
-            if fetches or ipa_reqs:
+            if fetches or ipa_reqs or enc_reqs:
                 continue
             break
         # group by table, chunk by stacked k

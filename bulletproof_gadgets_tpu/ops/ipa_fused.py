@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import flvec, msm_serial
+from . import flvec, msm_serial, ipa_fold
 from .fl import mont_mul, NW, R as _R
 from .ipa_device import (round_masks, _fold, _scalars, _scalars13,
                          _scalars_compact)
@@ -248,32 +248,77 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
 
     c = _ipa_c(m)
     w = msm_serial._WIN[c][2]
-    chunked = m > msm_serial._POINT_CHUNK and c == 8
-    if chunked:
-        # per-chunk source slabs (built once, reused across all rounds)
-        slabs = [msm_serial._chunk_src(table.src, m, lo)
-                 for lo, _, _, _, _ in msm_serial._chunk_plans(
-                     2 * w, m, c)]
+    fold_on, fold_at, fold_min = ipa_fold.fold_params()
+    fold_on = fold_on and c == 8
     for safe in (False, True):
-        if chunked:
-            cplans = msm_serial._chunk_plans(2 * w, m, c, safe=safe)
-            if not safe:
-                cplans = [(lo, h) + msm_serial._static_plan(
-                    2 * w, h, c=c, fill=_FILL)
-                    for lo, h, _, _, _ in cplans]
-        else:
-            t_r, p, steps = msm_serial._static_plan(
-                2 * w, m, safe=safe, c=c, fill=_FILL)
         state = jnp.asarray(st0)
         meta = (pos, pb, cf)
         a_d, b_d, gc_d, hc_d = a, b, gc, hc
         u_m = jnp.zeros((1, NW), jnp.int32)
         uinv_m = jnp.zeros((1, NW), jnp.int32)
-        Ls, Rs, pools = [], [], []
-        for rnd, mk in enumerate(masks):
-            prev = masks[rnd - 1] if rnd else mk
-            if chunked:
-                fsc = _get_foldscal_jit(rnd == 0)
+        Ls, Rs, pools, caps = [], [], [], []
+        src_cur = table.src
+        n_seg = n_full                # table G-vector length, this segment
+        m_cur = m
+        masks_cur = masks
+        local = 0                     # rounds since segment start
+        seg_plan = None
+        for rnd in range(lg_n):
+            if (fold_on and local == fold_at
+                    and (n_seg >> fold_at) >= fold_min
+                    and (lg_n - rnd) >= 4):
+                # materialize the folded table: apply the pending challenge
+                # fold, collapse the coefficients into real points, restart
+                # the segment 2^fold_at smaller (ops/ipa_fold).
+                if os.environ.get("BPG_TPU_IPA_DEBUG"):
+                    import sys as _sys
+                    import time as _time
+                    jax.block_until_ready(state)
+                    _t0 = _time.perf_counter()
+                    print(f"ipa_fused: fold at rnd {rnd} n_seg {n_seg}",
+                          file=_sys.stderr, flush=True)
+                prevm = masks_cur[local - 1]
+                a_d, b_d, gc_d, hc_d = _fold(
+                    a_d, b_d, gc_d, hc_d, u_m, uinv_m,
+                    prevm["ga"], prevm["hi"])
+                src_cur = ipa_fold.materialize(
+                    src_cur, gc_d, hc_d, n_seg, fold_at, m_cur)
+                n_seg >>= fold_at
+                m_cur = 2 * n_seg + 2
+                a_d = a_d[:n_seg]
+                b_d = b_d[:n_seg]
+                onem = jnp.broadcast_to(
+                    jnp.asarray(flvec.to_mont([1]))[0], (n_seg, NW))
+                gc_d = onem
+                hc_d = onem
+                masks_cur = round_masks(n_seg)
+                local = 0
+                seg_plan = None
+                if os.environ.get("BPG_TPU_IPA_DEBUG"):
+                    jax.block_until_ready(src_cur)
+                    print(f"ipa_fused: fold done in "
+                          f"{_time.perf_counter() - _t0:.3f}s -> n {n_seg}",
+                          file=_sys.stderr, flush=True)
+            mk = masks_cur[local]
+            prev = masks_cur[local - 1] if local else mk
+            if seg_plan is None:
+                if m_cur > msm_serial._POINT_CHUNK and c == 8:
+                    slabs = [msm_serial._chunk_src(src_cur, m_cur, lo)
+                             for lo, _, _, _, _ in msm_serial._chunk_plans(
+                                 2 * w, m_cur, c)]
+                    cplans = msm_serial._chunk_plans(2 * w, m_cur, c,
+                                                     safe=safe)
+                    if not safe:
+                        cplans = [(lo, h) + msm_serial._static_plan(
+                            2 * w, h, c=c, fill=_FILL)
+                            for lo, h, _, _, _ in cplans]
+                    seg_plan = ("chunk", cplans, slabs)
+                else:
+                    seg_plan = ("plain",) + msm_serial._static_plan(
+                        2 * w, m_cur, safe=safe, c=c, fill=_FILL)
+            if seg_plan[0] == "chunk":
+                _, cplans, slabs = seg_plan
+                fsc = _get_foldscal_jit(local == 0)
                 a_d, b_d, gc_d, hc_d, dig = fsc(
                     a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2,
                     prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
@@ -287,50 +332,70 @@ def create(transcript, table, w_scalar, G_factors, H_factors, a, b,
                     pls.append(pool_c)
                 enc, pool = _get_combine_jit(c)(
                     jnp.stack(wss), jnp.stack(pls))
-            elif rnd > 0:
+                pools.append(pool.reshape(-1))
+                caps.extend(pl[3] for pl in cplans)
+            elif local > 0:
                 # steady-state rounds: MSM + transcript in one dispatch
                 # (meta is constant from round 1 on -> one compile/size)
-                merged = _get_merged_jit(meta, m, t_r, p, steps, c)
+                _, t_r, p, steps = seg_plan
+                merged = _get_merged_jit(meta, m_cur, t_r, p, steps, c)
                 (state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, enc,
                  pool) = merged(
                     state, a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2,
-                    table.src, prev["ga"], prev["hi"], mk["ga"], mk["hi"],
+                    src_cur, prev["ga"], prev["hi"], mk["ga"], mk["hi"],
                     mk["cs"], mk["lo_i"], mk["hi_i"], mk["tL"], mk["tH"],
                     mk["remap"])
                 Ls.append(enc[0])
                 Rs.append(enc[1])
-                pools.append(pool)
+                pools.append(pool.reshape(1))
+                caps.append(p)
+                local += 1
+                if os.environ.get("BPG_TPU_IPA_DEBUG"):
+                    import sys as _sys2
+                    import time as _time2
+                    _tr = _time2.perf_counter()
+                    jax.block_until_ready(state)
+                    print(f"ipa_fused: rnd {rnd} (m {m_cur}) sync "
+                          f"{_time2.perf_counter() - _tr:.3f}s",
+                          file=_sys2.stderr, flush=True)
                 continue
             else:
-                msm_fn = _get_msm_jit(rnd == 0, m, t_r, p, steps, c)
+                _, t_r, p, steps = seg_plan
+                msm_fn = _get_msm_jit(True, m_cur, t_r, p, steps, c)
                 (a_d, b_d, gc_d, hc_d, enc, pool) = msm_fn(
-                    a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2, table.src,
+                    a_d, b_d, gc_d, hc_d, u_m, uinv_m, wr2, src_cur,
                     prev["ga"], prev["hi"], mk["ga"], mk["hi"], mk["cs"],
                     mk["lo_i"], mk["hi_i"], mk["tL"], mk["tH"],
                     mk["remap"])
+                pools.append(pool.reshape(1))
+                caps.append(p)
             fs_fn, out_meta = _get_fs_jit(meta)
             state, u_m, uinv_m = fs_fn(state, enc)
             meta = out_meta
             Ls.append(enc[0])
             Rs.append(enc[1])
-            pools.append(pool)
+            local += 1
+            if os.environ.get("BPG_TPU_IPA_DEBUG"):
+                import sys as _sys2
+                import time as _time2
+                _tr = _time2.perf_counter()
+                jax.block_until_ready(state)
+                print(f"ipa_fused: rnd {rnd} (m {m_cur}) sync "
+                      f"{_time2.perf_counter() - _tr:.3f}s",
+                      file=_sys2.stderr, flush=True)
         flat = _final_fold_pack(a_d, b_d, gc_d, hc_d, u_m, uinv_m,
-                                masks[-1]["ga"], masks[-1]["hi"],
+                                masks_cur[-1]["ga"], masks_cur[-1]["hi"],
                                 jnp.stack(Ls), jnp.stack(Rs),
-                                jnp.stack(pools))
+                                jnp.concatenate(pools))
         out = np.asarray(flat)                  # THE one readback
         pools_np = out[2 * 32 * lg_n + 2 * NW:]
-        if chunked:
-            caps = np.array([pl[3] for pl in cplans] * lg_n)
-            ok = (pools_np < caps).all()
-        else:
-            ok = (pools_np < p).all()
-        if ok:
+        caps_np = np.asarray(caps)
+        if (pools_np < caps_np).all():
             break
         # tight-plan overflow: redo on the safe shape (recompiles once)
         import sys
         print(f"ipa_fused: tight-plan pool overflow "
-              f"(max {int(pools_np.max())} >= {p}), re-running safe",
+              f"(max {int(pools_np.max())}), re-running safe",
               file=sys.stderr, flush=True)
 
     L_vec = [bytes(out[32 * i:32 * i + 32].astype(np.uint8))

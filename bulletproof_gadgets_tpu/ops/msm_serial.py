@@ -30,8 +30,8 @@ the points through them round-by-round:
 Work: ~(1+sigma/sqrt(mean)) * 32n mixed-adds per MSM vs the scan path's
 ~32n*log2(n); the whole device pipeline is ONE jit call per launch
 (point-chunked into <=2^17-point slabs for big tables — the random row
-gather leaves its fast regime past ~34 MB of source).  The retired
-premultiplied c=16 path survives in ops/msm_premul.py for reference.
+gather leaves its fast regime past ~34 MB of source).  The premultiplied
+c=16 path measured 3.5x slower and was removed (docs/PERFORMANCE.md r2).
 
 Role in the reference stack: dalek's Pippenger + AVX2 backend, invoked from
 prover.prove / verifier.verify (/root/reference/src/prove.rs:79,
@@ -620,6 +620,78 @@ def _launch_static(digits_t_dev, src, n: int, c: int = C):
                                                       c))
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _enc_pool(cols, k: int):
+    """[4, NL, k+1] pipeline output -> [k*32 + 1] int32: the k compressed
+    encodings (device Ristretto compress) followed by the pool scalar."""
+    from .ristretto_device import compress_cols
+    enc = compress_cols(cols[:, :, :k])
+    return jnp.concatenate([enc.reshape(-1),
+                            cols[0, 0, k].reshape(1)])
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _enc_only(cols, k: int):
+    from .ristretto_device import compress_cols
+    return compress_cols(cols[:, :, :k]).reshape(-1)
+
+
+def _launch_static_enc_async(digits_t_dev, src, n: int, c: int = C):
+    """Like _launch_static_async, but the points compress ON DEVICE
+    (ops/ristretto_device) — the caller gets 32-byte encodings, saving the
+    per-point host from_limbs + compress (~1.5 ms each; the transcript only
+    ever absorbs the encodings)."""
+    wt = digits_t_dev.shape[0]
+    k = wt // _WIN[c][2]
+    if n <= _POINT_CHUNK:
+        t, p, steps = _static_plan(wt, n, c=c)
+        cols = _msm_serial_static(digits_t_dev, src, wt, n, t, p, k,
+                                  steps, c)
+        return ("one", _enc_pool(cols, k), digits_t_dev, src, wt, n, p, k, c)
+    pends = []
+    for lo, h, t, p, steps in _chunk_plans(wt, n, c):
+        src_c = _chunk_src(src, n, lo)
+        pends.append((_msm_serial_static_ws(
+            digits_t_dev[:, lo:lo + h], src_c, wt, h, t, p, k, steps, c),
+            p))
+    cols = _combine_ws_horner(jnp.stack([w for (w, _), _ in pends]), k, c)
+    enc = _enc_only(
+        jnp.concatenate([cols, jnp.zeros((4, NL, 1), jnp.int32)], axis=2), k)
+    pools = jnp.stack([pl for (_, pl), _ in pends])
+    return ("chunked", enc, pools, [pp for _, pp in pends],
+            digits_t_dev, src, wt, n, k, c)
+
+
+def _launch_static_enc_finish(pending):
+    """Returns list[k] of 32-byte compressed encodings."""
+    if pending[0] == "one":
+        _, pend, digits_t_dev, src, wt, n, p, k, c = pending
+        arr = np.asarray(pend)
+        if int(arr[-1]) >= p:                          # tight pool overflow
+            t2, p2, steps2 = _static_plan(wt, n, safe=True, c=c)
+            cols = _msm_serial_static(digits_t_dev, src, wt, n, t2, p2, k,
+                                      steps2, c)
+            arr = np.asarray(_enc_pool(cols, k))
+        return [bytes(arr[32 * i:32 * i + 32].astype(np.uint8))
+                for i in range(k)]
+    _, enc, pools, ps, digits_t_dev, src, wt, n, k, c = pending
+    enc_np = np.asarray(enc)
+    pools_np = np.asarray(pools)
+    if any(int(pools_np[i]) >= ps[i] for i in range(len(ps))):
+        pends = []
+        for lo, h, t, p, steps in _chunk_plans(wt, n, c, safe=True):
+            src_c = _chunk_src(src, n, lo)
+            pends.append(_msm_serial_static_ws(
+                digits_t_dev[:, lo:lo + h], src_c, wt, h, t, p, k, steps,
+                c)[0])
+        cols = _combine_ws_horner(jnp.stack(pends), k, c)
+        enc_np = np.asarray(_enc_only(
+            jnp.concatenate([cols, jnp.zeros((4, NL, 1), jnp.int32)],
+                            axis=2), k))
+    return [bytes(enc_np[32 * i:32 * i + 32].astype(np.uint8))
+            for i in range(k)]
+
+
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _msm_serial_device_sorted(sv, coffs, offs, segid, last_pos, src,
                               t_rounds: int, p: int, k: int,
@@ -722,6 +794,33 @@ def _bucket_kernel_cont(bias, ix, iy, iz, it, gx, gy, gt, ox, oy, oz, ot,
                           gx[rr].astype(jnp.int32),
                           gy[rr].astype(jnp.int32),
                           gt[rr].astype(jnp.int32))
+
+    acc = (ox[:], oy[:], oz[:], ot[:])
+    acc = jax.lax.fori_loop(0, r_chunk, body, acc)
+    ox[:], oy[:], oz[:], ot[:] = acc
+
+
+def _bucket_kernel_rows(bias, g64, ox, oy, oz, ot, *, r_chunk: int):
+    """Row-layout variant: consumes the gathered [rc, blk, 64] int16 rows
+    directly and performs the int32 widen + (blk, 64) -> (64, blk)
+    transpose IN-KERNEL, so the [T, 64, P] int32 array (the pipeline's
+    single largest HBM transient: write + read ~2.6 GB at n=2^17) never
+    materializes.  Experimental — gated by BPG_TPU_MSM_ROWS=1."""
+    rc = pl.program_id(1)
+
+    @pl.when(rc == 0)
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
+        one = (row == 0).astype(jnp.int32)
+        ox[:] = jnp.zeros_like(ox)
+        oy[:] = one
+        oz[:] = one
+        ot[:] = jnp.zeros_like(ot)
+
+    def body(rr, acc):
+        g = g64[rr].astype(jnp.int32).T             # [64, blk]
+        return _madd_body(bias[:], *acc,
+                          g[0:NL], g[NL:2 * NL], g[2 * NL:3 * NL])
 
     acc = (ox[:], oy[:], oz[:], ot[:])
     acc = jax.lax.fori_loop(0, r_chunk, body, acc)
@@ -907,6 +1006,22 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
         zero = jnp.zeros((NL, p), jnp.int32)
         pool = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                  (zero, one, one, zero))
+    elif rc > 1 and os.environ.get("BPG_TPU_MSM_ROWS") == "1":
+        # experimental row-layout kernel: gather only, widen+transpose
+        # in-kernel (see _bucket_kernel_rows)
+        g64r = jnp.take(src, idx.reshape(-1), axis=0).reshape(
+            t_rounds, p, 64)
+        spec = pl.BlockSpec((rc, blk, 64), lambda j, r: (r, j, 0),
+                            memory_space=pltpu.VMEM)
+        pool = pl.pallas_call(
+            partial(_bucket_kernel_rows, r_chunk=rc),
+            grid=(nb, t_rounds // rc),
+            in_specs=[cspec, spec],
+            out_specs=[ospec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
+            compiler_params=params,
+            interpret=_use_interpret(),
+        )(bias, g64r)
     else:
         if rc == 1:
             flat = idx.reshape(-1)
@@ -1085,3 +1200,13 @@ class GeneratorTable:
     @staticmethod
     def msm_digits_finish(pending):
         return _launch_static_finish(pending)
+
+    def msm_digits_enc_launch(self, digits_t):
+        """As msm_digits_launch, but the result points compress on device;
+        finish with msm_digits_enc_finish -> list of 32-byte encodings."""
+        assert digits_t.shape[0] // W <= max_stack_k()
+        return _launch_static_enc_async(digits_t, self.src, self.m)
+
+    @staticmethod
+    def msm_digits_enc_finish(pending):
+        return _launch_static_enc_finish(pending)

@@ -38,6 +38,16 @@ def _msb_first_bits(e: int) -> np.ndarray:
 
 _P58_BITS = _msb_first_bits(2 ** 252 - 3)      # MSB is bit 251
 _L2_BITS = _msb_first_bits(L - 2)
+
+
+def _nibbles_msb_first(e: int) -> np.ndarray:
+    """4-bit windows of e, most-significant first, no leading zeros."""
+    n_win = (e.bit_length() + 3) // 4
+    return np.array([(e >> (4 * i)) & 15 for i in range(n_win - 1, -1, -1)],
+                    dtype=np.int32)
+
+
+_L2_NIBS = _nibbles_msb_first(L - 2)           # 64 windows, MSB first
 _K256 = flvec.to_limbs([(1 << 256) * _R % L])[0]   # mont_mul(hi, K) = hi*2^256
 _R2_ROW = flvec.to_limbs([_R2])[0]
 _RMODL_ROW = flvec.to_limbs([_R % L])[0]
@@ -203,12 +213,29 @@ def to_mont_dev(x_std):
 
 
 def inv_mont(x_std):
-    """std limbs [NW] -> x^(l-2) in MONT form (the fold-ready u_inv)."""
+    """std limbs [NW] -> x^(l-2) in MONT form (the fold-ready u_inv).
+
+    4-ary windowed chain: a 16-entry power table (15 dependent muls) then
+    63 windows of 4 squarings + 1 table mul — ~330 dependent multiplies
+    instead of the 505 of the naive square-and-multiply ladder.  This
+    chain is pure latency inside every fused IPA round's Fiat-Shamir step
+    (it cannot overlap the MSM: the challenge depends on L/R), so the
+    dependent-op count is the cost."""
     x_m = to_mont_dev(x_std[None, :])[0]
-    bits = jnp.asarray(_L2_BITS)
+
+    # power table x^0..x^15 (mont form; x^0 = R)
+    def tab_body(i, t):
+        return t.at[i].set(mont_mul(t[i - 1], x_m))
+
+    table = jnp.zeros((16, NW), jnp.int32).at[0].set(
+        jnp.asarray(_RMODL_ROW)).at[1].set(x_m)
+    table = jax.lax.fori_loop(2, 16, tab_body, table)
+
+    nibs = jnp.asarray(_L2_NIBS)
 
     def body(i, acc):
-        acc = mont_mul(acc, acc)
-        return jnp.where(bits[i], mont_mul(acc, x_m), acc)
+        for _ in range(4):
+            acc = mont_mul(acc, acc)
+        return mont_mul(acc, table[nibs[i]])
 
-    return jax.lax.fori_loop(1, _L2_BITS.shape[0], body, x_m)
+    return jax.lax.fori_loop(1, _L2_NIBS.shape[0], body, table[nibs[0]])

@@ -51,6 +51,11 @@ def run(tag):
             mark('msm_dispatch')
             resp = table.msm_digits(dig)
             mark('msm_done')
+        elif kind == 'msm_enc':
+            mark('msm_dispatch')
+            resp = table.msm_digits_enc_finish(
+                table.msm_digits_enc_launch(dig))
+            mark('msm_done')
         elif kind == 'fused_ipa':
             from bulletproof_gadgets_tpu.ops import ipa_fused
             mark('ipa_dispatch')

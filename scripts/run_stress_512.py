@@ -51,6 +51,8 @@ while True:
     mark(f"prove yield {i}: {kind}")
     if kind == "msm":
         resp = table.msm_digits(dig)
+    elif kind == "msm_enc":
+        resp = table.msm_digits_enc_finish(table.msm_digits_enc_launch(dig))
     elif kind == "fused_ipa":
         from bulletproof_gadgets_tpu.ops import ipa_fused
         resp = ipa_fused.create(dig[0], table, *dig[1:])

@@ -158,3 +158,42 @@ def test_flatten_chunked_huge_multiplicity():
     got = flvec.limbs_to_ints(
         np.asarray(mont_mul(f.wL, jnp.broadcast_to(y_m, f.wL.shape))))
     assert got == [v * y % L for v in eL]
+
+
+def test_flatten_slab_path_matches_host_loop(monkeypatch):
+    """Giant-circuit slab path (VERDICT r4 item 2): term counts past the
+    one-shot graph cap run as fixed-size slab dispatches with a carried
+    accumulator.  Shrunk thresholds force the path on a small circuit."""
+    from bulletproof_gadgets_tpu.ops import flatten as fl_mod
+    monkeypatch.setattr(fl_mod, "MAX_DEVICE_TERMS", 1 << 11)
+    monkeypatch.setattr(fl_mod, "_SLAB", 1 << 10)
+    fl_mod._extract_cache.clear()
+
+    rnd = random.Random(11)
+    n, m = 300, 5
+    cons = []
+    total = 0
+    while total < 5000:
+        terms = []
+        for _ in range(rnd.randrange(3, 9)):
+            kind = rnd.choice([ONE, COMMITTED, MULT_LEFT, MULT_RIGHT,
+                               MULT_OUT])
+            idx = (rnd.randrange(m) if kind == COMMITTED
+                   else rnd.randrange(n) if kind != ONE else 0)
+            terms.append((Variable(kind, idx),
+                          Scalar.from_int(rnd.randrange(L))))
+        cons.append(LinearCombination(terms))
+        total += len(terms)
+
+    z = rnd.randrange(1, L)
+    f = fl_mod.flatten(cons, n, m, z, with_wc=True)
+    assert f is not None
+    eL, eR, eO, eV, ec = _host_flatten(cons, n, m, z)
+    gL, gR, gO = f.ints()
+    assert gL == eL and gR == eR and gO == eO
+    assert f.wV == eV and f.wc == ec
+    # warm hit drives the cached-entry slab branch too
+    f2 = fl_mod.flatten(cons, n, m, z, with_wc=True)
+    gL2, _, _ = f2.ints()
+    assert gL2 == eL
+    fl_mod._extract_cache.clear()

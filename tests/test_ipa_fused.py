@@ -54,6 +54,46 @@ def test_fused_ipa_matches_host(n, native):
         t_dev.challenge_bytes(b"x", 32)
 
 
+@pytest.mark.parametrize("n,fold_at", [(64, 2), (256, 3)])
+def test_fused_ipa_folded_table_matches_host(n, fold_at, monkeypatch):
+    """Folded-table re-materialization (ops/ipa_fold): collapse the
+    coefficient vectors into real device points every fold_at rounds and
+    continue on the 2^fold_at-smaller table — L/R bytes, challenges and
+    final a/b must stay identical to the host path."""
+    monkeypatch.setenv("BPG_TPU_IPA_FOLD", "1")
+    monkeypatch.setenv("BPG_TPU_IPA_FOLD_AT", str(fold_at))
+    monkeypatch.setenv("BPG_TPU_IPA_FOLD_MIN", "4")
+
+    pc = PedersenGens.default()
+    bp = BulletproofGens(n)
+    G, H = list(bp.G(n)), list(bp.H(n))
+    a = _rand_scalars(n, 91)
+    b = _rand_scalars(n, 92)
+    y_inv = _rand_scalars(1, 93)[0]
+    G_factors = [Scalar(1)] * n
+    H_factors = exp_iter(y_inv, n)
+    w = _rand_scalars(1, 94)[0]
+    Q = pc.B.scalar_mul(w.v)
+
+    t_host = Transcript(b"ipa-folded")
+    host = InnerProductProof.create(
+        t_host, Q, list(G_factors), list(H_factors),
+        list(G), list(H), list(a), list(b))
+
+    table = msm_serial.GeneratorTable(G, H, pc.B, pc.B_blinding)
+    t_dev = Transcript(b"ipa-folded")
+    innerproduct_domain_sep(t_dev, n)
+    L_vec, R_vec, a0, b0 = ipa_fused.create(
+        t_dev, table, w.v % L,
+        [s.v % L for s in G_factors], [s.v % L for s in H_factors],
+        [s.v for s in a], [s.v for s in b])
+    assert L_vec == host.L_vec
+    assert R_vec == host.R_vec
+    assert a0 == host.a.v % L and b0 == host.b.v % L
+    assert t_host.challenge_bytes(b"x", 32) == \
+        t_dev.challenge_bytes(b"x", 32)
+
+
 def test_fused_ipa_chunked_table(monkeypatch):
     """Huge-table path: per-round MSMs split into point chunks whose
     window sums combine with the group law (shrunk threshold)."""
