@@ -201,10 +201,16 @@ class ShardedGeneratorTable:
                 gathered = jax.lax.all_gather(stacked, "shard")
                 parts = tuple(gathered[:, i] for i in range(4))
                 total = _combine_ws(parts)
+                # Horner runs INSIDE the body, redundantly on every shard
+                # (the window sums are replicated after the all_gather):
+                # one dispatch + one readback per MSM instead of two — a
+                # fixed per-MSM saving that shrinks the D=1 sharded
+                # residual (VERDICT r4 item 6).
+                cols = _horner_part(total, k)
                 pool_max = jax.lax.pmax(pool, "shard")
-                return jnp.stack(total), pool_max
+                return cols, pool_max
 
-            fn = (jax.jit(f), self._horner_fn(k))
+            fn = jax.jit(f)
             self._fns[key] = fn
         return fn
 
@@ -223,9 +229,8 @@ class ShardedGeneratorTable:
                              NamedSharding(self.mesh, P(None, "shard")))
         for safe in (False, True):
             t, p, steps = _static_plan(kw, self.mloc, safe=safe)
-            ws_fn, horner_fn = self._static_fn(kw, t, p, steps)
-            total, pool = ws_fn(dig, self.src_sharded)
-            cols = horner_fn(total)
+            ws_fn = self._static_fn(kw, t, p, steps)
+            cols, pool = ws_fn(dig, self.src_sharded)
             if int(np.asarray(pool)) < p:
                 break
         return _points_from_cols(cols, kw // W)
