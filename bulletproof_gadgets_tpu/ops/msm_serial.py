@@ -805,7 +805,9 @@ def _bucket_kernel_rows(bias, g64, ox, oy, oz, ot, *, r_chunk: int):
     directly and performs the int32 widen + (blk, 64) -> (64, blk)
     transpose IN-KERNEL, so the [T, 64, P] int32 array (the pipeline's
     single largest HBM transient: write + read ~2.6 GB at n=2^17) never
-    materializes.  Experimental — gated by BPG_TPU_MSM_ROWS=1."""
+    materializes.  Measured 1.9x on the full MSM at n=2^17 (61.5 vs
+    117.7 ms same-session A/B, scripts/probe_rows.py) — the DEFAULT;
+    BPG_TPU_MSM_ROWS=0 restores the pre-transposed path."""
     rc = pl.program_id(1)
 
     @pl.when(rc == 0)
@@ -816,6 +818,26 @@ def _bucket_kernel_rows(bias, g64, ox, oy, oz, ot, *, r_chunk: int):
         oy[:] = one
         oz[:] = one
         ot[:] = jnp.zeros_like(ot)
+
+    def body(rr, acc):
+        g = g64[rr].astype(jnp.int32).T             # [64, blk]
+        return _madd_body(bias[:], *acc,
+                          g[0:NL], g[NL:2 * NL], g[2 * NL:3 * NL])
+
+    acc = (ox[:], oy[:], oz[:], ot[:])
+    acc = jax.lax.fori_loop(0, r_chunk, body, acc)
+    ox[:], oy[:], oz[:], ot[:] = acc
+
+
+def _bucket_kernel_rows_cont(bias, ix, iy, iz, it, g64, ox, oy, oz, ot,
+                             *, r_chunk: int):
+    """Accumulator-carrying row-layout variant (round-chunked big tables:
+    one MSM's accumulation spans several launches)."""
+    rc = pl.program_id(1)
+
+    @pl.when(rc == 0)
+    def _():
+        ox[:], oy[:], oz[:], ot[:] = ix[:], iy[:], iz[:], it[:]
 
     def body(rr, acc):
         g = g64[rr].astype(jnp.int32).T             # [64, blk]
@@ -985,11 +1007,29 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
             idx = jnp.concatenate(
                 [idx, jnp.full((t_pad - t_rounds, p), ident_row,
                                jnp.int32)], axis=0)
-        spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
-                            memory_space=pltpu.VMEM)
+        rows_mode = os.environ.get("BPG_TPU_MSM_ROWS", "1") == "1"
+        if rows_mode:
+            spec = pl.BlockSpec((rc, blk, 64), lambda j, r: (r, j, 0),
+                                memory_space=pltpu.VMEM)
+        else:
+            spec = pl.BlockSpec((rc, NL, blk), lambda j, r: (r, 0, j),
+                                memory_space=pltpu.VMEM)
 
         def chunk_body(c, acc):
             idx_c = jax.lax.dynamic_slice(idx, (c * tc, 0), (tc, p))
+            if rows_mode:
+                g64r = jnp.take(src, idx_c.reshape(-1), axis=0).reshape(
+                    tc, p, 64)
+                return tuple(pl.pallas_call(
+                    partial(_bucket_kernel_rows_cont, r_chunk=rc),
+                    grid=(nb, tc // rc),
+                    in_specs=[cspec] + [ospec] * 4 + [spec],
+                    out_specs=[ospec] * 4,
+                    out_shape=[jax.ShapeDtypeStruct((NL, p),
+                                                    jnp.int32)] * 4,
+                    compiler_params=params,
+                    interpret=_use_interpret(),
+                )(bias, *acc, g64r))
             g = _gather_g3(idx_c, src, tc, p)
             return tuple(pl.pallas_call(
                 partial(_bucket_kernel_cont, r_chunk=rc),
@@ -1006,9 +1046,9 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
         zero = jnp.zeros((NL, p), jnp.int32)
         pool = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                  (zero, one, one, zero))
-    elif rc > 1 and os.environ.get("BPG_TPU_MSM_ROWS") == "1":
-        # experimental row-layout kernel: gather only, widen+transpose
-        # in-kernel (see _bucket_kernel_rows)
+    elif rc > 1 and os.environ.get("BPG_TPU_MSM_ROWS", "1") == "1":
+        # row-layout kernel: gather only, widen+transpose in-kernel
+        # (see _bucket_kernel_rows; 1.9x measured)
         g64r = jnp.take(src, idx.reshape(-1), axis=0).reshape(
             t_rounds, p, 64)
         spec = pl.BlockSpec((rc, blk, 64), lambda j, r: (r, j, 0),

@@ -13,7 +13,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 CHILD = r"""
 import os, sys, time
-sys.path.insert(0, %(repo)r)
+sys.path.insert(0, @REPO@)
 import numpy as np
 import jax.numpy as jnp
 from bulletproof_gadgets_tpu.core.gens import BulletproofGens
@@ -21,7 +21,7 @@ from bulletproof_gadgets_tpu.core.scalar import L
 from bulletproof_gadgets_tpu.ops import msm_serial
 from bulletproof_gadgets_tpu.ops.msm import signed_digits
 
-n = 1 << %(lg)d
+n = 1 << @LG@
 rnd = np.random.default_rng(7)
 gens = BulletproofGens(n // 2)
 points = gens.G(n // 2) + gens.H(n // 2)
@@ -47,7 +47,7 @@ t0 = time.time()
 pending = [msm_serial._launch_static_async(d, src, n) for d in digs]
 pts = [msm_serial._launch_static_finish(pd) for pd in pending]
 dt = (time.time() - t0) / iters
-print(f"  n=2^%(lg)d rows=%(rows)s: {dt*1e3:.1f} ms/MSM -> "
+print(f"  n=2^@LG@ rows=@ROWS@: {dt*1e3:.1f} ms/MSM -> "
       f"{n/dt:,.0f} mults/s  last={pts[-1][0].compress().hex()[:16]}",
       flush=True)
 """
@@ -62,7 +62,9 @@ def main():
             print(f"n=2^{lg} rows={rows}:", flush=True)
             subprocess.run(
                 [sys.executable, "-c",
-                 CHILD % {"repo": repo, "lg": lg, "rows": rows}],
+                 CHILD.replace("@REPO@", repr(repo))
+                 .replace("@LG@", str(lg))
+                 .replace("@ROWS@", rows)],
                 env=env, check=True)
 
 
