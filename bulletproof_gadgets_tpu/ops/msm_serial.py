@@ -82,7 +82,12 @@ _ROUND_PAD = 8            # rounds padded to a multiple (bounds jit shapes;
                           # rounds and large ones ~6%)
 _LANE_PAD = 4096          # pool lanes padded to a multiple of the kernel block
 _LANE_PAD_TIGHT = 512     # finer padding for the tight static plan
-_POOL_CAP = 49152         # VMEM pool-width cap (lanes)
+# Pool-width cap (lanes).  The pool buffer itself is HBM-resident (VMEM
+# sees blk-lane blocks), so the cap's real role is bounding the planner
+# (T doubling) and the merge/window-scan lane work; it also sets
+# max_stack_k, the widest cross-proof stacked launch the DP batch path
+# can make.  BPG_TPU_MSM_POOL_CAP overrides for experiments.
+_POOL_CAP = int(os.environ.get("BPG_TPU_MSM_POOL_CAP", "49152"))
 
 
 _SIGMA = float(os.environ.get("BPG_TPU_MSM_SIGMA", "2.5"))
@@ -110,6 +115,12 @@ def _select_t(total: int, m: int, pool_of_t, lane_pad: int,
         pool = pool_of_t(t)
         p_pad = -(-(pool + 1) // lane_pad) * lane_pad
         if p_pad <= cap or t >= total:
+            break
+        if pool_of_t(t * 2) >= pool:
+            # the pool is at its bucket-count floor (independent of T):
+            # doubling T only inflates the slot matrix without shrinking
+            # the pool — stop instead of walking T toward `total` (the
+            # 107 GB degenerate allocation seen at 4x pool caps)
             break
         t *= 2
     if p_pad > cap:
@@ -425,12 +436,49 @@ def _static_schedule(digits_t, wt: int, n: int, t_rounds: int, p: int,
                                  2 * n)
 
 
+def _schedule_from_sorted_scatter(starts, ends, sv, wt: int, n: int,
+                                  t_rounds: int, p: int, nb: int,
+                                  ident: int):
+    """Scatter formulation of the schedule: every sorted entry computes its
+    OWN destination slot (dst = offs[b]*T + (q - starts[b])) and one
+    scatter builds the padded stream; idx is then a pure reshape+transpose
+    instead of P vmapped dynamic_slices (which serialize as per-lane DMAs).
+    Enabled with BPG_TPU_MSM_SCHED2=scatter."""
+    m = wt * nb
+    counts = ends - starts
+    sub = (counts + (t_rounds - 1)) // t_rounds
+    csum = jnp.cumsum(sub)
+    pool = csum[-1]
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
+    lanes = jnp.arange(p, dtype=jnp.int32)
+    bucket = jnp.searchsorted(csum, lanes, side="right",
+                              method="scan_unrolled").astype(jnp.int32)
+    segid = jnp.where(lanes < pool, bucket, m + lanes - pool)
+    last = offs + jnp.maximum(sub, 1) - 1
+    last_pos = jnp.where(sub > 0, last, pool).astype(jnp.int32)
+    q = jnp.arange(sv.shape[0], dtype=jnp.int32)
+    # bucket of each sorted entry (starts is globally non-decreasing:
+    # window blocks are ordered, buckets within a window contiguous)
+    bq = (jnp.searchsorted(starts, q, side="right",
+                           method="scan_unrolled").astype(jnp.int32) - 1)
+    bq = jnp.clip(bq, 0, m - 1)
+    valid = (q >= starts[bq]) & (q < ends[bq])
+    dst = offs[bq] * t_rounds + (q - starts[bq])
+    dst = jnp.where(valid, dst, p * t_rounds)          # trash slot
+    padded = jnp.full((p * t_rounds + 1,), ident, jnp.int32).at[dst].set(sv)
+    idx = padded[:p * t_rounds].reshape(p, t_rounds).T
+    return idx, segid, last_pos, pool
+
+
 def _schedule_from_sorted(starts, ends, sv, wt: int, n: int, t_rounds: int,
                           p: int, nb: int, ident: int):
     """Schedule construction from a sorted entry stream.  `ident` is the
     source-row index of the identity pad (2n for the plain layout; callers
     that remap sv into a larger source table pass that table's identity
     row)."""
+    if os.environ.get("BPG_TPU_MSM_SCHED2") == "scatter":
+        return _schedule_from_sorted_scatter(starts, ends, sv, wt, n,
+                                             t_rounds, p, nb, ident)
     m = wt * nb
     counts = ends - starts                              # [m]
     sub = (counts + (t_rounds - 1)) // t_rounds         # ceil, 0 for empty
