@@ -71,9 +71,16 @@ _2D = 2 * _D % _P
 # The cap bounds the POOL buffer (4 coords x NL x P x 4 B, HBM-resident;
 # VMEM sees only blk-lane blocks), so c=13's cap just needs to clear its
 # own bucket-lane floor k*20*4096 for the k it serves (k<=12 -> 983040).
+# Pool-width cap (lanes).  The pool buffer itself is HBM-resident (VMEM
+# sees blk-lane blocks), so the cap's real role is bounding the planner
+# and the merge/window-scan lane work; it also sets max_stack_k, the
+# widest cross-proof stacked launch the DP batch path can make.
+# BPG_TPU_MSM_POOL_CAP overrides for experiments.
+_POOL_CAP = int(os.environ.get("BPG_TPU_MSM_POOL_CAP", "49152"))
+
 _WIN = {
-    8: (8, 128, 32, 7, 49152),
-    13: (13, 4096, 20, 12, 1 << 20),
+    8: (8, 128, 32, 7, _POOL_CAP),
+    13: (13, 4096, 20, 12, max(_POOL_CAP, 1 << 20)),
 }
 
 _ROUND_PAD = 8            # rounds padded to a multiple (bounds jit shapes;
@@ -82,12 +89,6 @@ _ROUND_PAD = 8            # rounds padded to a multiple (bounds jit shapes;
                           # rounds and large ones ~6%)
 _LANE_PAD = 4096          # pool lanes padded to a multiple of the kernel block
 _LANE_PAD_TIGHT = 512     # finer padding for the tight static plan
-# Pool-width cap (lanes).  The pool buffer itself is HBM-resident (VMEM
-# sees blk-lane blocks), so the cap's real role is bounding the planner
-# (T doubling) and the merge/window-scan lane work; it also sets
-# max_stack_k, the widest cross-proof stacked launch the DP batch path
-# can make.  BPG_TPU_MSM_POOL_CAP overrides for experiments.
-_POOL_CAP = int(os.environ.get("BPG_TPU_MSM_POOL_CAP", "49152"))
 
 
 _SIGMA = float(os.environ.get("BPG_TPU_MSM_SIGMA", "2.5"))
