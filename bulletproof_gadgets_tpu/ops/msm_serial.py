@@ -958,6 +958,114 @@ def _seg_scan(x, segid, steps: int):
     return jax.lax.fori_loop(0, steps, body, x)
 
 
+# ---------------------------------------------------------------------------
+# fused scan kernels: the merge scan (up to ~7 steps) and the double masked
+# window scan (14 steps) each used to run as one padd_cols PALLAS LAUNCH PER
+# STEP with XLA roll/where glue between launches — ~21 launches and ~60 tiny
+# ops per MSM.  At large n the arrays are only [NL, ~4.6k] so the XLA cost
+# was small, but every launch+glue op is pure latency on the small MSMs the
+# fused IPA's post-fold rounds run; these kernels execute ALL steps of a
+# scan in one VMEM-resident pallas call (profiler-verified 0.7 ms for
+# merge+window+horner combined at n=2^17).
+
+def _ident_cols_in_kernel():
+    """In-kernel identity point columns [NL, 1]: X=T=0, Y=Z=1 at limb 0."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (NL, 1), 0)
+    one = (row == 0).astype(jnp.int32)
+    zero = jnp.zeros((NL, 1), jnp.int32)
+    return zero, one, one, zero
+
+
+def _merge_scan_kernel(bias, d2, segid, x, y, z, t, ox, oy, oz, ot,
+                       *, steps: int):
+    """All `steps` Hillis-Steele segmented-merge steps in one launch.
+    segid [1, P]; coords [NL, P]."""
+    acc = (x[:], y[:], z[:], t[:])
+    seg = segid[:]
+    p = seg.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    idc = _ident_cols_in_kernel()
+    b, dd = bias[:], d2[:]
+    for s in range(steps):
+        shift = 1 << s
+        same = (seg == jnp.roll(seg, shift, axis=1)) & (lane >= shift)
+        shifted = tuple(jnp.roll(a, shift, axis=1) for a in acc)
+        addend = tuple(jnp.where(same, a, ic)
+                       for a, ic in zip(shifted, idc))
+        acc = _padd_body(b, dd, *acc, *addend)
+    ox[:], oy[:], oz[:], ot[:] = acc
+
+
+def _window_scan_kernel(bias, d2, x, y, z, t, ox, oy, oz, ot,
+                        *, nb: int, log_steps: int):
+    """Double masked suffix scan (the multiply-free sum_b b*S_b trick) with
+    STATIC within-window masks, all 2*log_steps steps in one launch.
+    Input is the bucket-reversed [NL, m] array (m % nb == 0)."""
+    acc = (x[:], y[:], z[:], t[:])
+    m = acc[0].shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) % nb
+    idc = _ident_cols_in_kernel()
+    b, dd = bias[:], d2[:]
+    for _ in range(2):
+        for s in range(log_steps):
+            shift = 1 << s
+            keep = lane >= shift
+            shifted = tuple(jnp.roll(a, shift, axis=1) for a in acc)
+            addend = tuple(jnp.where(keep, a, ic)
+                           for a, ic in zip(shifted, idc))
+            acc = _padd_body(b, dd, *acc, *addend)
+    ox[:], oy[:], oz[:], ot[:] = acc
+
+
+# lane width past which the single-block fused scan kernels would push
+# Mosaic's VMEM budget (the padd body's schoolbook mul holds ~NL wide
+# intermediates); larger pools keep the per-step padd_cols path.
+_FUSED_SCAN_MAX = int(os.environ.get("BPG_TPU_MSM_FUSED_SCAN_MAX", "16384"))
+
+
+def _scan_params():
+    return (None if _use_interpret() else
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
+
+
+def _merge_scan_fused(pool, segid, steps: int):
+    p = pool[0].shape[1]
+    if steps == 0:
+        return pool
+    if p > _FUSED_SCAN_MAX or os.environ.get(
+            "BPG_TPU_MSM_FUSED_SCAN", "1") != "1":
+        return _seg_scan(pool, segid, steps)
+    cspec = pl.BlockSpec((NL, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, p), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((NL, p), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return tuple(pl.pallas_call(
+        partial(_merge_scan_kernel, steps=steps),
+        in_specs=[cspec, cspec, sspec] + [spec] * 4,
+        out_specs=[spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((NL, p), jnp.int32)] * 4,
+        compiler_params=_scan_params(),
+        interpret=_use_interpret(),
+    )(jnp.asarray(_SUB_BIAS_COL), jnp.asarray(_D2_COL),
+      segid.reshape(1, p), *pool))
+
+
+def _window_scan_fused(rev, nb: int, log_steps: int):
+    m = rev[0].shape[1]
+    if m > _FUSED_SCAN_MAX or os.environ.get(
+            "BPG_TPU_MSM_FUSED_SCAN", "1") != "1":
+        return _masked_scan(_masked_scan(rev, nb, log_steps), nb, log_steps)
+    cspec = pl.BlockSpec((NL, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((NL, m), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return tuple(pl.pallas_call(
+        partial(_window_scan_kernel, nb=nb, log_steps=log_steps),
+        in_specs=[cspec, cspec] + [spec] * 4,
+        out_specs=[spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((NL, m), jnp.int32)] * 4,
+        compiler_params=_scan_params(),
+        interpret=_use_interpret(),
+    )(jnp.asarray(_SUB_BIAS_COL), jnp.asarray(_D2_COL), *rev))
+
+
 _BLK = 4096               # bucket-kernel lane block (~3.2 MB VMEM)
 
 
@@ -1138,15 +1246,14 @@ def _window_sums_part(idx, segid, last_pos, src, k: int, merge_steps: int,
         )(bias, *g)
 
     # merge split buckets, then gather canonical [NL, M] bucket sums
-    merged = _seg_scan(tuple(pool), segid, merge_steps)
+    merged = _merge_scan_fused(tuple(pool), segid, merge_steps)
     buckets = tuple(x[:, last_pos] for x in merged)
 
     # weighted window sums: sum_b b*S_b per window via double suffix scan
     nb, log_steps = _WIN[c][1], _WIN[c][3]
     rev = tuple(x.reshape(NL, m // nb, nb)[:, :, ::-1].reshape(NL, m)
                 for x in buckets)
-    suffix = _masked_scan(rev, nb, log_steps)
-    total = _masked_scan(suffix, nb, log_steps)
+    total = _window_scan_fused(rev, nb, log_steps)
     lastpos_w = (jnp.arange(m // nb, dtype=jnp.int32) * nb + (nb - 1))
     return tuple(x[:, lastpos_w] for x in total)        # [NL, k*W]
 
